@@ -1,0 +1,63 @@
+"""Multi-head attention ops.
+
+One entry point, two backends:
+- a plain XLA einsum path (always correct; XLA fuses it well on TPU for the
+  short-sequence cases: temporal attention is f<=32, memory attention ~8k kv)
+- a Pallas flash-attention path for the long-sequence ViT encoder case
+  (1370+ tokens x 16+ heads), enabled on TPU via ``use_flash``.
+
+Softmax always runs in fp32 (the reference's ``upcast_softmax``/autocast
+behavior — reference motion_module/attention.py:198-204).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dot_product_attention"]
+
+_FLASH_MIN_SEQ = 256
+
+
+def _xla_attention(q, k, v, scale, bias=None):
+    dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          scale: Optional[float] = None,
+                          bias: Optional[jnp.ndarray] = None,
+                          use_flash: Optional[bool] = None) -> jnp.ndarray:
+    """Attention over [B, T, H, D] tensors (q: Tq, k/v: Tk).
+
+    Args:
+      scale: logit scale; defaults to 1/sqrt(D) like the reference.
+      bias: optional additive [B|1, H|1, Tq, Tk] logits bias.
+      use_flash: force the Pallas path on/off; default: auto (TPU & long seq).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if use_flash is None:
+        use_flash = (q.shape[1] >= _FLASH_MIN_SEQ and bias is None
+                     and _on_tpu())
+    if use_flash:
+        from vdn.ops.pallas.flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale, bias)
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
