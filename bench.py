@@ -1,0 +1,55 @@
+"""Flagship benchmark: vitl 518px 32-frame video-depth throughput on 1 chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline denominator: the Video-Depth-Anything paper reports ~9.1 frames/sec
+for VDA-L at 518px on a single A100 (the reference repo itself publishes no
+numbers — see BASELINE.md); vs_baseline = our_fps / 9.1.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_FPS = 9.1
+FRAMES = 32
+SIZE = 518
+
+
+def main():
+    from vdn.models.video_depth_anything import build_video_depth_anything
+
+    model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    init_x = jnp.zeros((1, 2, 56, 56, 3), jnp.float32)
+    params = jax.jit(model.init)(rng, init_x)
+
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, FRAMES, SIZE, SIZE, 3), jnp.float32)
+
+    fwd = jax.jit(model.apply)
+    # warmup/compile
+    fwd(params, x).block_until_ready()
+
+    n_iters = 5
+    start = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(params, x)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    fps = FRAMES * n_iters / elapsed
+    print(json.dumps({
+        "metric": "video_depth_vitl_518_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Video depth model: DINOv2 encoder + temporal DPT head.
+
+Re-design of the reference VideoDepthAnything (clip forward:
+reference video_depth_anything/video_depth.py:35-65; streaming split:
+video_depth_stream.py:61-74).  Functional API:
+
+- ``__call__(x)``: x [B, T, H, W, 3] -> depth [B, T, H, W] (clip mode)
+- ``forward_features(x)``: ViT intermediate layers over flattened frames
+- ``forward_depth(features, shape, caches)``: decode + new KV caches —
+  the streaming building block (caches are fixed-shape pytrees; host
+  orchestration lives in vdn.pipelines.stream)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vdn.nn.dpt_temporal import DPTHeadTemporal
+from vdn.nn.vit import INTERMEDIATE_LAYER_IDX, make_vit
+from vdn.ops.resize import resize2d
+
+Dtype = Any
+
+
+class VideoDepthAnything(nn.Module):
+    encoder: str = "vitl"
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    num_frames: int = 32
+    pe: str = "ape"
+    param_dtype: Dtype = jnp.float32
+    compute_dtype: Dtype = jnp.float32
+    use_flash: Optional[bool] = None
+    remat: bool = False
+
+    def setup(self):
+        self.pretrained = make_vit(self.encoder, self.param_dtype,
+                                   self.use_flash, self.remat)
+        self.head = DPTHeadTemporal(
+            in_channels=self.pretrained.embed_dim, features=self.features,
+            out_channels=self.out_channels, num_frames=self.num_frames,
+            pe=self.pe, param_dtype=self.param_dtype)
+
+    def forward_features(self, x: jnp.ndarray):
+        """x: [B, T, H, W, 3] -> 4 x (tokens [(B*T), N, C], cls)."""
+        b, t, h, w, c = x.shape
+        flat = x.reshape(b * t, h, w, c).astype(self.compute_dtype)
+        return self.pretrained.get_intermediate_layers(
+            flat, INTERMEDIATE_LAYER_IDX[self.encoder])
+
+    def forward_depth(self, features, x_shape: Tuple[int, ...],
+                      caches: Optional[Sequence[jnp.ndarray]] = None):
+        """Decode features of T frames into depth [B, T, H, W] (fp32, relu'd)
+        + the new cache pytree. T is the number of *new* frames."""
+        b, t, h, w, _ = x_shape
+        patch_h, patch_w = h // 14, w // 14
+        depth, new_caches = self.head(features, patch_h, patch_w, t,
+                                      caches=caches)
+        depth = resize2d(depth, (h, w), "bilinear", align_corners=True)
+        depth = jax.nn.relu(depth.astype(jnp.float32))
+        return depth[..., 0].reshape(b, t, h, w), new_caches
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = self.forward_features(x)
+        depth, _ = self.forward_depth(features, x.shape)
+        return depth
+
+
+def build_video_depth_anything(encoder: str = "vitl", **kw
+                               ) -> VideoDepthAnything:
+    from vdn.models.presets import MODEL_CONFIGS
+    cfg = dict(MODEL_CONFIGS[encoder])
+    cfg.update(kw)
+    return VideoDepthAnything(**cfg)

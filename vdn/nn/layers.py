@@ -130,10 +130,11 @@ class Linear(nn.Module):
     features: int
     use_bias: bool = True
     param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features), self.param_dtype)
         y = jnp.matmul(x, kernel.astype(x.dtype))
         if self.use_bias:

@@ -1,0 +1,239 @@
+"""Temporal motion modules (AnimateDiff-style), TPU-native.
+
+Re-design of the reference temporal attention stack
+(reference video_depth_anything/motion_module/motion_module.py:32-326 and
+attention.py:30-429): per-spatial-token self-attention across the frame axis,
+inserted at four points of the temporal DPT head.
+
+Differences from the reference by design:
+- tensors are NHWC / [B, T, H, W, C]; the frame axis is reshaped against the
+  spatial axes with plain reshapes+transposes (XLA fuses these)
+- the KV cache is a pytree of fixed-shape arrays, not a python list of
+  tensors, so streaming decode jits with static shapes
+- softmax always fp32 (TPU policy; reference runs fp16 under autocast)
+
+Cache contract (matches reference list order dpt_temporal.py:74-96):
+each TemporalModule produces ``num_transformer_block * num_attention_blocks``
+cache entries of shape [B*H*W, T, C] — the attention-block *inputs* — and
+consumes the same number from the previous window.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdn.nn.layers import GroupNorm, LayerNorm, Linear
+from vdn.ops.attention import dot_product_attention
+from vdn.ops.rope import apply_rope, temporal_rope_freqs
+
+Dtype = Any
+
+
+def sinusoidal_positional_encoding(d_model: int, max_len: int) -> np.ndarray:
+    """APE table (reference motion_module.py:195-213): [max_len, d_model]."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                      * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe.astype(np.float32)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = Linear(self.dim_out * 2, param_dtype=self.param_dtype,
+                   name="proj")(x)
+        hidden, gate = jnp.split(y, 2, axis=-1)
+        return hidden * jax.nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (reference attention.py FeedForward, mult=4).
+    Submodule names net_0/net_2 mirror the torch Sequential indices."""
+    dim: int
+    mult: int = 4
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        x = GEGLU(inner, self.param_dtype, name="net_0")(x)
+        return Linear(self.dim, param_dtype=self.param_dtype, name="net_2")(x)
+
+
+class TemporalAttention(nn.Module):
+    """Self-attention across frames, one spatial token at a time.
+
+    Input [(B*T), N, C] (N = spatial tokens); attends over T per token.
+    With a cache [B*N, T_cache, C], only the T_new current frames are
+    queried while keys/values span cache + new (reference
+    attention.py:245-326).
+    Returns (output [(B*T_new), N, C], cache_entry [B*N, T_new, C]).
+    """
+    query_dim: int
+    heads: int = 8
+    temporal_max_len: int = 32
+    pos_embedding_type: str = "ape"
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jnp.ndarray, video_length: int,
+                 cache: Optional[jnp.ndarray] = None):
+        bt, n, c = hidden_states.shape
+        t_new = video_length
+        b = bt // t_new
+        # (b t) n c -> (b n) t c
+        x = hidden_states.reshape(b, t_new, n, c).transpose(0, 2, 1, 3)
+        x = x.reshape(b * n, t_new, c)
+        cache_entry = x
+
+        d_in = 0
+        if cache is not None:
+            d_in = cache.shape[1]
+            x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+        t_total = d_in + t_new
+
+        if self.pos_embedding_type == "ape":
+            pe = sinusoidal_positional_encoding(self.query_dim,
+                                                self.temporal_max_len)
+            x = x + jnp.asarray(pe[None, :t_total]).astype(x.dtype)
+        elif self.pos_embedding_type != "rope":
+            raise NotImplementedError(self.pos_embedding_type)
+
+        q_in = x[:, d_in:]
+        query = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_q")(q_in)
+        key = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                     name="to_k")(x)
+        value = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_v")(x)
+
+        if self.pos_embedding_type == "rope":
+            # reference applies rope on the full inner dim before head split
+            # (attention.py:279-282); cache mode is unsupported there too
+            assert cache is None, "rope temporal attention has no cache mode"
+            cos, sin = temporal_rope_freqs(self.query_dim, t_total)
+            query = apply_rope(query, cos[:t_new], sin[:t_new])
+            key = apply_rope(key, cos[:t_total], sin[:t_total])
+
+        h = self.heads
+        dh = c // h
+        out = dot_product_attention(
+            query.reshape(b * n, t_new, h, dh),
+            key.reshape(b * n, t_total, h, dh),
+            value.reshape(b * n, t_total, h, dh),
+            use_flash=False)  # frame axis is short; XLA path wins
+        out = out.reshape(b * n, t_new, c)
+        out = Linear(self.query_dim, param_dtype=self.param_dtype,
+                     name="to_out_0")(out)
+        # (b n) t c -> (b t) n c
+        out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
+        out = out.reshape(b * t_new, n, c)
+        return out, cache_entry
+
+
+class TemporalTransformerBlock(nn.Module):
+    dim: int
+    heads: int = 8
+    num_attention_blocks: int = 2
+    temporal_max_len: int = 32
+    pos_embedding_type: str = "ape"
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_length: int,
+                 caches: Optional[Sequence[jnp.ndarray]] = None):
+        out_caches = []
+        for i in range(self.num_attention_blocks):
+            y = LayerNorm(param_dtype=self.param_dtype, name=f"norms_{i}")(x)
+            y, cache_entry = TemporalAttention(
+                self.dim, self.heads, self.temporal_max_len,
+                self.pos_embedding_type, self.param_dtype,
+                name=f"attention_blocks_{i}")(
+                    y, video_length,
+                    caches[i] if caches is not None else None)
+            x = y + x
+            out_caches.append(cache_entry)
+        y = LayerNorm(param_dtype=self.param_dtype, name="ff_norm")(x)
+        x = FeedForward(self.dim, param_dtype=self.param_dtype,
+                        name="ff")(y) + x
+        return x, out_caches
+
+
+class TemporalTransformer3D(nn.Module):
+    """GroupNorm + proj_in/out around the transformer blocks
+    (reference TemporalTransformer3DModel, motion_module.py:68-136)."""
+    in_channels: int
+    heads: int = 8
+    num_layers: int = 1
+    num_attention_blocks: int = 2
+    norm_num_groups: int = 32
+    temporal_max_len: int = 32
+    pos_embedding_type: str = "ape"
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, video_length: int,
+                 caches: Optional[Sequence[jnp.ndarray]] = None):
+        # x: [(B*T_new), H, W, C]
+        bt, hh, ww, c = x.shape
+        residual = x
+        y = GroupNorm(self.norm_num_groups, epsilon=1e-6,
+                      param_dtype=self.param_dtype, name="norm")(x)
+        y = y.reshape(bt, hh * ww, c)
+        y = Linear(c, param_dtype=self.param_dtype, name="proj_in")(y)
+
+        out_caches: List[jnp.ndarray] = []
+        n_per = self.num_attention_blocks
+        for i in range(self.num_layers):
+            y, blk_caches = TemporalTransformerBlock(
+                c, self.heads, self.num_attention_blocks,
+                self.temporal_max_len, self.pos_embedding_type,
+                self.param_dtype, name=f"transformer_blocks_{i}")(
+                    y, video_length,
+                    caches[i * n_per:(i + 1) * n_per]
+                    if caches is not None else None)
+            out_caches.extend(blk_caches)
+
+        # zero-initialized so the temporal mixer starts as identity
+        # (reference motion_module.py:57-58 zero_initialize)
+        y = Linear(self.in_channels, param_dtype=self.param_dtype,
+                   kernel_init=nn.initializers.zeros, name="proj_out")(y)
+        y = y.reshape(bt, hh, ww, c)
+        return y + residual, out_caches
+
+
+class TemporalModule(nn.Module):
+    """Zero-initialized residual temporal mixer (reference TemporalModule).
+
+    Takes/returns [(B*T_new), H, W, C] feature maps plus the cache pytree.
+    """
+    in_channels: int
+    num_attention_heads: int = 8
+    num_transformer_block: int = 1
+    num_attention_blocks: int = 2
+    temporal_max_len: int = 32
+    pos_embedding_type: str = "ape"
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, video_length: int,
+                 caches: Optional[Sequence[jnp.ndarray]] = None):
+        return TemporalTransformer3D(
+            self.in_channels, self.num_attention_heads,
+            self.num_transformer_block, self.num_attention_blocks,
+            temporal_max_len=self.temporal_max_len,
+            pos_embedding_type=self.pos_embedding_type,
+            param_dtype=self.param_dtype,
+            name="temporal_transformer")(x, video_length, caches)

@@ -47,8 +47,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_flash is None:
-        use_flash = (q.shape[1] >= _FLASH_MIN_SEQ and bias is None
-                     and _on_tpu())
+        # TODO(perf): auto-enable once the Pallas kernel beats the XLA path
+        # at ViT shapes (currently 29ms vs 15ms for a vitl 32-frame window;
+        # the kernel is correct — see tests/test_flash_attention.py — but
+        # needs block/pipeline tuning on v5e).
+        use_flash = False
     if use_flash:
         from vdn.ops.pallas.flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)

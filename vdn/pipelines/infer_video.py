@@ -1,0 +1,100 @@
+"""Windowed clip inference with keyframe re-anchoring and stitching.
+
+Host orchestration of the reference protocol (reference
+video_depth_anything/video_depth.py:67-156), unchanged constants:
+32-frame windows, stride 22, the first 10 inputs of each window re-use the
+previous window's KEYFRAMES, then per-window least-squares scale/shift
+alignment against keyframe references plus an 8-frame cross-fade.
+
+Device work (the jitted clip forward) sees a fixed [1, 32, h, w, 3] shape;
+everything else is numpy on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vdn.ops.resize import resize2d
+from vdn.ops.scale_shift import interpolate_frames_np, scale_and_shift_np
+from vdn.pipelines.transform import (adjust_input_size_for_ratio,
+                                     preprocess_frame)
+
+# infer settings, do not change (reference video_depth.py:29-33)
+INFER_LEN = 32
+OVERLAP = 10
+KEYFRAMES = [0, 12, 24, 25, 26, 27, 28, 29, 30, 31]
+INTERP_LEN = 8
+
+
+def infer_video_depth(model, params, frames: np.ndarray, target_fps: float,
+                      input_size: int = 518,
+                      forward_fn: Optional[object] = None):
+    """frames: [N, H, W, 3] RGB (uint8 or float 0-255).
+
+    Returns (depths [N, H, W] fp32 at source resolution, target_fps).
+    """
+    n_frames = len(frames)
+    frame_h, frame_w = frames[0].shape[:2]
+    input_size = adjust_input_size_for_ratio(frame_h, frame_w, input_size)
+
+    if forward_fn is None:
+        forward_fn = jax.jit(lambda p, x: model.apply(p, x))
+
+    frame_list = [frames[i] for i in range(n_frames)]
+    frame_step = INFER_LEN - OVERLAP
+    append_len = ((frame_step - (n_frames % frame_step)) % frame_step
+                  + (INFER_LEN - frame_step))
+    frame_list = frame_list + [frame_list[-1].copy()] * append_len
+
+    depth_list = []
+    pre_input = None
+    for frame_id in range(0, n_frames, frame_step):
+        cur = np.stack([preprocess_frame(frame_list[frame_id + i], input_size)
+                        for i in range(INFER_LEN)], axis=0)[None]
+        if pre_input is not None:
+            cur[:, :OVERLAP] = pre_input[:, KEYFRAMES]
+
+        depth = np.asarray(forward_fn(params, cur))  # [1, T, h, w]
+        depth = np.asarray(resize2d(depth[0][..., None],
+                                    (frame_h, frame_w), "bilinear",
+                                    align_corners=True))[..., 0]
+        depth_list += [depth[i] for i in range(depth.shape[0])]
+        pre_input = cur
+
+    # ---- stitching (reference video_depth.py:118-154) ----
+    aligned = []
+    ref_align = []
+    align_len = OVERLAP - INTERP_LEN
+    kf_align_list = KEYFRAMES[:align_len]
+
+    for frame_id in range(0, len(depth_list), INFER_LEN):
+        if not aligned:
+            aligned += depth_list[:INFER_LEN]
+            for kf_id in kf_align_list:
+                ref_align.append(depth_list[frame_id + kf_id])
+        else:
+            curr_align = [depth_list[frame_id + i]
+                          for i in range(len(kf_align_list))]
+            scale, shift = scale_and_shift_np(
+                np.concatenate(curr_align), np.concatenate(ref_align),
+                np.ones_like(np.concatenate(ref_align)))
+
+            pre_depths = aligned[-INTERP_LEN:]
+            post_depths = depth_list[frame_id + align_len:
+                                     frame_id + OVERLAP]
+            post_depths = [np.maximum(d * scale + shift, 0)
+                           for d in post_depths]
+            aligned[-INTERP_LEN:] = interpolate_frames_np(pre_depths,
+                                                          post_depths)
+            for i in range(OVERLAP, INFER_LEN):
+                aligned.append(np.maximum(
+                    depth_list[frame_id + i] * scale + shift, 0))
+            ref_align = ref_align[:1]
+            for kf_id in kf_align_list[1:]:
+                ref_align.append(np.maximum(
+                    depth_list[frame_id + kf_id] * scale + shift, 0))
+
+    return np.stack(aligned[:n_frames], axis=0), target_fps

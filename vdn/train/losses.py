@@ -1,0 +1,303 @@
+"""Depth losses as pure jit-able functions.
+
+Re-design of the reference loss stack (reference loss/loss.py:1-408) with
+static shapes: boolean-mask indexing + dynamic-length sorts become
+mask-aware sorts with rank cutoffs, torch's lower-median becomes a sorted
+gather, and all reductions follow the reference's "batch-based" convention
+(sum of kept residuals / total valid pixels).
+
+Shapes follow the reference: images [N, H, W], clips [B, T, H, W].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _batch_reduce(total_kept: Array, total_valid: Array) -> Array:
+    return jnp.where(total_valid > 0, total_kept / total_valid, 0.0)
+
+
+def _trimmed_abs_sum(res: Array, mask: Array, trim: float) -> Array:
+    """Sum of the smallest (1-trim) fraction of |res| over valid entries
+    (reference TrimmedMAELoss, loss.py:194-219). res/mask flattened."""
+    flat = jnp.abs(res.reshape(-1))
+    mflat = mask.reshape(-1) > 0
+    vals = jnp.where(mflat, flat, jnp.inf)
+    order = jnp.sort(vals)
+    n_valid = jnp.sum(mflat)
+    keep_num = jnp.floor(n_valid * (1.0 - trim)).astype(jnp.int32)
+    ranks = jnp.arange(order.shape[0])
+    kept = jnp.where(ranks < keep_num, order, 0.0)
+    kept = jnp.where(jnp.isfinite(kept), kept, 0.0)
+    return jnp.sum(kept)
+
+
+def trimmed_mae_loss(prediction: Array, target: Array, mask: Array,
+                     trim: float = 0.2) -> Array:
+    mask = mask.astype(prediction.dtype)
+    total_valid = jnp.sum(mask)
+    kept = _trimmed_abs_sum(prediction - target, mask, trim)
+    return _batch_reduce(kept, total_valid)
+
+
+def trimmed_absrel_loss(prediction: Array, target: Array, mask: Array,
+                        trim: float = 0.2, target_min: float = 1e-3,
+                        target_max: float = 70.0) -> Array:
+    """(reference TrimmedAbsRelLoss, loss.py:164-192)"""
+    valid_t = (target > target_min) & (target < target_max)
+    mask = mask.astype(prediction.dtype) * valid_t.astype(prediction.dtype)
+    total_valid = jnp.sum(mask)
+    res = (prediction - target) / jnp.where(target == 0, 1.0, target)
+    kept = _trimmed_abs_sum(res, mask, trim)
+    return _batch_reduce(kept, total_valid)
+
+
+def delta1_loss(prediction: Array, target: Array, mask: Array,
+                threshold: float = 1.25) -> Array:
+    """Fraction of valid pixels with max(p/t, t/p) < 1.25
+    (reference Delta1Loss, loss.py:99-124)."""
+    mask = mask.astype(prediction.dtype)
+    safe_t = jnp.where(target == 0, 1.0, target)
+    safe_p = jnp.where(prediction == 0, 1.0, prediction)
+    ratio = jnp.maximum(prediction / safe_t, target / safe_p)
+    res = (ratio < threshold).astype(prediction.dtype) * mask
+    return _batch_reduce(jnp.sum(res), jnp.sum(mask))
+
+
+def normalize_prediction_robust(target: Array, mask: Array,
+                                ms: Optional[Tuple[Array, Array]] = None):
+    """Median/MAD normalization (reference loss.py:53-71).  The median is
+    torch's lower median over the *zero-filled* masked product."""
+    mask = mask.astype(target.dtype)
+    n = target.shape[0]
+    flat = (mask * target).reshape(n, -1)
+    ssum = jnp.sum(mask, axis=(1, 2))
+    valid = ssum > 0
+    if ms is None:
+        npix = flat.shape[1]
+        med = jnp.sort(flat, axis=1)[:, (npix - 1) // 2]
+        m = jnp.where(valid, med, 0.0)
+    else:
+        m, s = ms
+    centered = target - m.reshape(-1, 1, 1)
+    if ms is None:
+        sq = jnp.sum(mask * jnp.abs(centered), axis=(1, 2))
+        s = jnp.where(valid,
+                      jnp.clip(sq / jnp.where(valid, ssum, 1.0), 1e-6, None),
+                      1.0)
+    return centered / s.reshape(-1, 1, 1), (jax.lax.stop_gradient(m),
+                                            jax.lax.stop_gradient(s))
+
+
+def compute_scale_and_shift(prediction: Array, target: Array, mask: Array):
+    """Per-item closed-form alignment, loss flavor: degenerate -> (0, 0)
+    and det+1e-6 denominator (reference loss.py:74-96)."""
+    axes = tuple(range(1, prediction.ndim))
+    mask = mask.astype(prediction.dtype)
+    a_00 = jnp.sum(mask * prediction * prediction, axis=axes)
+    a_01 = jnp.sum(mask * prediction, axis=axes)
+    a_11 = jnp.sum(mask, axis=axes)
+    b_0 = jnp.sum(mask * prediction * target, axis=axes)
+    b_1 = jnp.sum(mask * target, axis=axes)
+    det = a_00 * a_11 - a_01 * a_01
+    valid = det != 0
+    x_0 = jnp.where(valid, (a_11 * b_0 - a_01 * b_1) / (det + 1e-6), 0.0)
+    x_1 = jnp.where(valid, (-a_01 * b_0 + a_00 * b_1) / (det + 1e-6), 0.0)
+    return x_0, x_1
+
+
+def _gradient_loss_single_scale(prediction, target, mask,
+                                frame_id_mask=None):
+    """(reference gradient_loss, loss.py:28-51)"""
+    diff = mask * (prediction - target)
+    grad_x = jnp.abs(diff[:, :, 1:] - diff[:, :, :-1])
+    mask_x = mask[:, :, 1:] * mask[:, :, :-1]
+    grad_y = jnp.abs(diff[:, 1:, :] - diff[:, :-1, :])
+    mask_y = mask[:, 1:, :] * mask[:, :-1, :]
+    if frame_id_mask is not None:
+        mask_x = mask_x * (frame_id_mask[:, :, 1:]
+                           == frame_id_mask[:, :, :-1])
+        mask_y = mask_y * (frame_id_mask[:, 1:, :]
+                           == frame_id_mask[:, :-1, :])
+    num = jnp.sum(mask_x * grad_x) + jnp.sum(mask_y * grad_y)
+    return _batch_reduce(num, jnp.sum(mask))
+
+
+def gradient_loss(prediction: Array, target: Array, mask: Array,
+                  scales: int = 4, num_frame_h: int = 1) -> Array:
+    """Multi-scale gradient matching with optional frame-boundary masking
+    (reference GradientLoss, loss.py:222-254)."""
+    mask = mask.astype(prediction.dtype)
+    frame_id_mask = None
+    if num_frame_h > 1:
+        frame_h = mask.shape[1] // num_frame_h
+        rows = jnp.arange(mask.shape[1]) // frame_h + 1
+        frame_id_mask = jnp.broadcast_to(rows[None, :, None], mask.shape)
+    total = 0.0
+    for scale in range(scales):
+        step = 2 ** scale
+        total += _gradient_loss_single_scale(
+            prediction[:, ::step, ::step], target[:, ::step, ::step],
+            mask[:, ::step, ::step],
+            frame_id_mask[:, ::step, ::step]
+            if frame_id_mask is not None else None)
+    return total
+
+
+def trimmed_procrustes_loss(prediction: Array, target: Array, mask: Array,
+                            alpha: float = 0.5, grad_scales: int = 4,
+                            trim: float = 0.2, num_frame_h: int = 1
+                            ) -> Array:
+    """Robust-normalized MAE + gradient regularizer
+    (reference TrimmedProcrustesLoss, loss.py:127-153)."""
+    pred_ssi, _ = normalize_prediction_robust(prediction, mask)
+    target_ssi, _ = normalize_prediction_robust(target, mask)
+    total = trimmed_mae_loss(pred_ssi, target_ssi, mask, trim)
+    if alpha > 0:
+        total += alpha * gradient_loss(pred_ssi, target_ssi, mask,
+                                       grad_scales, num_frame_h)
+    return total
+
+
+def temporal_gradient_matching_loss(prediction: Array, target: Array,
+                                    mask: Array, trim: float = 0.0,
+                                    scales: int = 1, decay: float = 0.5,
+                                    diff_depth_th: float = 0.05) -> Array:
+    """Multi-scale temporal-difference matching
+    (reference TemporalGradientMatchingLoss, loss.py:257-292).
+    prediction/target/mask: [B, T, H, W]."""
+    maskb = mask > 0
+    min_t = jnp.min(jnp.where(maskb, target, jnp.inf), axis=(2, 3))
+    max_t = jnp.max(jnp.where(maskb, target, -jnp.inf), axis=(2, 3))
+    target_th = (max_t - min_t) * diff_depth_th  # [B, T]
+
+    total = 0.0
+    cnt = 0
+    for scale in range(scales):
+        stride = 2 ** scale
+        if stride >= prediction.shape[1]:
+            continue
+        p = prediction[:, ::stride]
+        t = target[:, ::stride]
+        m = maskb[:, ::stride]
+        th = target_th[:, ::stride]
+        pg = p[:, 1:] - p[:, :-1]
+        tg = t[:, 1:] - t[:, :-1]
+        tm = m[:, 1:] & m[:, :-1]
+        tm = tm & (jnp.abs(tg) < th[:, 1:, None, None])
+        total += trimmed_mae_loss(
+            pg.reshape(-1, *pg.shape[2:]), tg.reshape(-1, *tg.shape[2:]),
+            tm.reshape(-1, *tm.shape[2:]).astype(prediction.dtype),
+            trim) * (decay ** scale)
+        cnt += 1
+    return total / max(cnt, 1)
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> Array:
+    coords = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(coords ** 2) / (2 * sigma ** 2))
+    return g / g.sum()
+
+
+def ssim_cs_loss(prediction: Array, target: Array, mask: Array,
+                 win_size: int = 11, sigma: float = 1.5,
+                 data_range: float = 1.0) -> Array:
+    """1 - contrast/structure SSIM term at full resolution — equal to the
+    reference's MS_SSIM with weights [1,0,0,0,0]
+    (reference DepthShallowSSIMLoss, loss.py:296-323; max-normalized per
+    clip, mask only affects the normalizer like the reference)."""
+    b = prediction.shape[0]
+    m = mask.astype(prediction.dtype)
+    pmax = jnp.max((prediction * m).reshape(b, -1), axis=1)
+    tmax = jnp.max((target * m).reshape(b, -1), axis=1)
+    max_val = jnp.clip(jnp.maximum(pmax, tmax), 1e-8, None)
+    p = (prediction / max_val[:, None, None, None]).reshape(
+        -1, *prediction.shape[2:])[..., None]
+    t = (target / max_val[:, None, None, None]).reshape(
+        -1, *target.shape[2:])[..., None]
+
+    win = _gaussian_window(win_size, sigma)
+
+    def blur(x):
+        x = jax.vmap(lambda img: jnp.apply_along_axis(
+            lambda v: jnp.convolve(v, win, mode="valid"), 0, img))(x)
+        x = jax.vmap(lambda img: jnp.apply_along_axis(
+            lambda v: jnp.convolve(v, win, mode="valid"), 1, img))(x)
+        return x
+
+    mu_p, mu_t = blur(p), blur(t)
+    spp = blur(p * p) - mu_p * mu_p
+    stt = blur(t * t) - mu_t * mu_t
+    spt = blur(p * t) - mu_p * mu_t
+    c2 = (0.03 * data_range) ** 2
+    cs = (2 * spt + c2) / (spp + stt + c2)
+    return 1.0 - jnp.mean(jax.nn.relu(cs))
+
+
+def video_depth_loss(prediction: Array, target: Array, mask: Array,
+                     alpha: float = 0.5, scales: int = 4, trim: float = 0.0,
+                     stable_scale: float = 10.0,
+                     ssim_loss_scale: float = 0.0) -> Dict[str, Array]:
+    """Full training objective (reference VideoDepthLoss, loss.py:326-367):
+    global per-video scale/shift alignment, then spatial (robust SSI MAE +
+    gradient) + temporal gradient matching (+ optional SSIM), with
+    AbsRel/delta1 reported as metrics."""
+    b, t = prediction.shape[:2]
+    scale, shift = compute_scale_and_shift(
+        prediction.reshape(b, -1, prediction.shape[-1]),
+        target.reshape(b, -1, target.shape[-1]),
+        mask.reshape(b, -1, mask.shape[-1]))
+    prediction = (scale.reshape(-1, 1, 1, 1) * prediction
+                  + shift.reshape(-1, 1, 1, 1))
+
+    flat = lambda x: x.reshape(b * t, *x.shape[2:])
+    out: Dict[str, Array] = {}
+    out["spatial_loss"] = trimmed_procrustes_loss(
+        flat(prediction), flat(target), flat(mask).astype(jnp.float32),
+        alpha=alpha, grad_scales=scales, trim=trim)
+    total = out["spatial_loss"]
+    if stable_scale > 0:
+        out["stable_loss"] = temporal_gradient_matching_loss(
+            prediction, target, mask, trim=trim, scales=1, decay=0.5)
+        total = total + out["stable_loss"] * stable_scale
+    if ssim_loss_scale > 0:
+        out["ssim_loss"] = ssim_cs_loss(prediction, target, mask)
+        total = total + out["ssim_loss"] * ssim_loss_scale
+    out["absRel_loss"] = trimmed_absrel_loss(prediction, target, mask, trim)
+    out["d1"] = delta1_loss(prediction, target, mask)
+    out["total_loss"] = total
+    return out
+
+
+def eroded_mask(mask: Array) -> Array:
+    """3x3 erosion of a [B, T, H, W] validity mask via dilation of its
+    inverse (reference VideoNormalLoss.eroded_mask, loss.py:380-387)."""
+    inv = 1.0 - (mask > 0).astype(jnp.float32)
+    b, t, h, w = inv.shape
+    x = inv.reshape(b * t, h, w, 1)
+    kernel = jnp.ones((3, 3, 1, 1), jnp.float32)
+    dil = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return (dil[..., 0].reshape(b, t, h, w) == 0)
+
+
+def video_normal_loss(prediction: Array, target: Array, mask: Array
+                      ) -> Dict[str, Array]:
+    """Cosine-similarity loss on normal maps [B, T, H, W, 3]
+    (reference VideoNormalLoss, loss.py:370-408)."""
+    m = eroded_mask(mask)
+    p = prediction.reshape(-1, 3)
+    t = target.reshape(-1, 3)
+    eps = 1e-8
+    sim = jnp.sum(p * t, -1) / jnp.clip(
+        jnp.linalg.norm(p, axis=-1) * jnp.linalg.norm(t, axis=-1), eps, None)
+    mflat = m.reshape(-1).astype(jnp.float32)
+    cos = _batch_reduce(jnp.sum(sim * mflat), jnp.sum(mflat))
+    return {"normal_loss": 1.0 - cos}
