@@ -35,10 +35,15 @@ def main():
     # warmup/compile
     fwd(params, x).block_until_ready()
 
+    # chain iterations through the output so the runtime cannot dedup or
+    # overlap identical executions (the axon tunnel was observed returning
+    # bogus sub-ms timings for repeated identical dispatches)
     n_iters = 5
     start = time.perf_counter()
     for _ in range(n_iters):
         out = fwd(params, x)
+        x = jax.lax.dynamic_update_slice(
+            x, out[:, :1, :1, :1, None] * 1e-6, (0, 0, 0, 0, 0))
     out.block_until_ready()
     elapsed = time.perf_counter() - start
 

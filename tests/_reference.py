@@ -14,8 +14,12 @@ _REFERENCE_PATH = "/root/reference"
 
 def _install_shims():
     if "torchvision" not in sys.modules:
+        import importlib.machinery
         tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tvt = types.ModuleType("torchvision.transforms")
+        tvt.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.transforms", None)
 
         class Compose:
             def __init__(self, fns):
