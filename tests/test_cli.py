@@ -1,0 +1,67 @@
+"""CLI integration: torch checkpoint -> conversion -> inference -> files."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+import torch
+
+from tests import _reference
+
+_reference.add_reference_to_path()
+
+
+@pytest.mark.slow
+def test_run_image_cli(tmp_path):
+    from depth_anything_v2.depth_anything_v2 import DepthAnythingV2 as RefDA2
+    torch.manual_seed(0)
+    ref = RefDA2(encoder="vits", features=64,
+                 out_channels=[48, 96, 192, 384]).eval()
+    ckpt = tmp_path / "da2_vits.pth"
+    torch.save(ref.state_dict(), str(ckpt))
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(0)
+    cv2.imwrite(str(img_dir / "a.png"),
+                rng.integers(0, 255, (70, 70, 3), np.uint8))
+
+    outdir = tmp_path / "out"
+    from vdn.cli.run import main
+    # vits preset uses features=64 / out=[48,96,192,384] == this checkpoint
+    main(["--img-path", str(img_dir), "--encoder", "vits",
+          "--checkpoint", str(ckpt), "--outdir", str(outdir),
+          "--input-size", "56", "--pred-only", "--compute-dtype", "fp32"])
+    assert (outdir / "a.png").exists()
+    vis = cv2.imread(str(outdir / "a.png"))
+    assert vis.shape == (70, 70, 3)
+
+
+@pytest.mark.slow
+def test_run_video_cli_streaming(tmp_path):
+    from video_depth_anything.video_depth_stream import (
+        VideoDepthAnything as RefVDA)
+    torch.manual_seed(0)
+    ref = RefVDA(encoder="vits", features=64,
+                 out_channels=[48, 96, 192, 384]).eval()
+    ckpt = tmp_path / "vda_vits.pth"
+    torch.save(ref.state_dict(), str(ckpt))
+
+    # synthetic 4-frame video
+    video = tmp_path / "in.mp4"
+    w = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 8,
+                        (64, 64))
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    w.release()
+
+    outdir = tmp_path / "out"
+    from vdn.cli.run_video import main
+    main(["--video-path", str(video), "--encoder", "vits",
+          "--checkpoint", str(ckpt), "--outdir", str(outdir),
+          "--input-size", "56", "--streaming", "--compute-dtype", "fp32"])
+    depths = np.load(outdir / "in_depths.npy")
+    assert depths.shape == (4, 64, 64)
+    assert (outdir / "in_vis.mp4").exists()

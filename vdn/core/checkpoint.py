@@ -35,6 +35,10 @@ _DTYPE_MAP = {
 }
 
 
+class _OrderedDictShim(dict):
+    pass
+
+
 class _StorageStub:
     def __init__(self, storage_type: str, key: str, numel: int):
         self.storage_type = storage_type
@@ -63,7 +67,9 @@ class _TorchUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
         if module.startswith("torch") or module == "collections":
             if name == "OrderedDict":
-                return dict
+                # real dict subclass: state_dicts carry a _metadata
+                # attribute, set via the pickle BUILD opcode
+                return _OrderedDictShim
             if name.endswith("Storage") or name == "UntypedStorage":
                 return type(name, (), {"__name__": name})
             if name == "_rebuild_tensor_v2":

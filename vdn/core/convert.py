@@ -109,6 +109,10 @@ def convert_torch_state(
                                  f"{value.shape}")
         elif leaf == "bias":
             pass
+        elif value.ndim == 4:
+            # rank-4 non-weight params are NCHW spatial tables
+            # (hiera pos_embed / pos_embed_window) -> NHWC
+            value = np.transpose(value, (0, 2, 3, 1))
         # everything else (cls_token, pos_embed, mask_token, gamma, ...)
         # copies verbatim under its own name
         _assign(tree, path, np.ascontiguousarray(value))

@@ -63,10 +63,15 @@ class FeatureFusionBlock(nn.Module):
 
 
 class Scratch(nn.Module):
-    """Container matching the reference's `scratch` nn.Module namespace."""
+    """Container matching the reference's `scratch` nn.Module namespace.
+
+    ``sigmoid_output`` selects the metric-depth head variant: the final
+    activation becomes a sigmoid scaled by max_depth at the model level
+    (reference metric_depth/depth_anything_v2/dpt.py:109-114)."""
     features: int
     out_channels: Sequence[int]
     param_dtype: Dtype = jnp.float32
+    sigmoid_output: bool = False
 
     def setup(self):
         f, pd = self.features, self.param_dtype
@@ -110,7 +115,10 @@ class Scratch(nn.Module):
         y = self.output_conv2_0(out.astype(jnp.float32))
         y = jax.nn.relu(y)
         y = self.output_conv2_2(y)
-        y = jax.nn.relu(y)
+        if self.sigmoid_output:
+            y = jax.nn.sigmoid(y)
+        else:
+            y = jax.nn.relu(y)
         return y, feat
 
 
@@ -124,6 +132,7 @@ class DPTHead(nn.Module):
     features: int = 256
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
     param_dtype: Dtype = jnp.float32
+    sigmoid_output: bool = False
 
     def setup(self):
         pd = self.param_dtype
@@ -139,7 +148,7 @@ class DPTHead(nn.Module):
         # resize_layers_2 is Identity in the reference
         self.resize_layers_3 = Conv2d(oc[3], (3, 3), stride=(2, 2),
                                       padding=1, param_dtype=pd)
-        self.scratch = Scratch(self.features, oc, pd)
+        self.scratch = Scratch(self.features, oc, pd, self.sigmoid_output)
 
     def project_features(self, out_features, patch_h: int, patch_w: int):
         """tokens [B, ph*pw, C] x4 -> pyramid of NHWC maps."""
