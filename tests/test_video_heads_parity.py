@@ -1,0 +1,94 @@
+"""Sangyu head / head v1 / FusionLayer parity vs reference models/."""
+
+import numpy as np
+import pytest
+import torch
+
+from tests import _reference
+
+_reference.add_reference_to_path()
+
+from models.video_depth_head_v2_sangyu import (  # noqa: E402
+    VideoDepthAnythingHeadV2 as RefSangyu)
+from models.video_depth_head import (  # noqa: E402
+    VideoDepthAnythingHead as RefHeadV1)
+from models.fusion_block import FusionLayer as RefFusion  # noqa: E402
+
+from vdn.core.convert import convert_torch_state  # noqa: E402
+from vdn.nn.video_heads import (FusionLayer, VideoDepthHeadSangyu,  # noqa
+                                VideoDepthHeadV1)
+
+
+def _to_ref(feat_nhwc):  # [B,S,H,W,C] -> [B,S,C,H,W]
+    return np.moveaxis(feat_nhwc, -1, 2).copy()
+
+
+def test_sangyu_head_matches():
+    torch.manual_seed(0)
+    ref = RefSangyu(sequence_length=4, attention_feature_levels=[2, 3]).eval()
+    params = {"params": convert_torch_state(_reference.state_dict_numpy(ref))}
+    model = VideoDepthHeadSangyu(sequence_length=4,
+                                 attention_feature_levels=(2, 3))
+
+    rng = np.random.default_rng(0)
+    ch = [96, 192, 384, 768]
+    sizes = [16, 8, 4, 2]
+    feats = [rng.standard_normal((1, 4, sz, sz, c)).astype(np.float32)
+             for sz, c in zip(sizes, ch)]
+    with torch.no_grad():
+        ref_out = ref([torch.from_numpy(_to_ref(f)) for f in feats]).numpy()
+    got = np.asarray(model.apply(params, feats))
+    np.testing.assert_allclose(_to_ref(got), ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_head_v1_matches():
+    torch.manual_seed(1)
+    ref = RefHeadV1(input_dim=384, sequence_length=2,
+                    img_size=(56, 56)).eval()
+    params = {"params": convert_torch_state(
+        _reference.state_dict_numpy(ref),
+        convt_patterns=[r"decoder\.\d+\.0\."])}
+    model = VideoDepthHeadV1(input_dim=384, sequence_length=2,
+                             img_size=(56, 56))
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((2, 16, 384)).astype(np.float32)  # B*S=2
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(feats.copy())).numpy()
+    got = np.asarray(model.apply(params, feats))
+    np.testing.assert_allclose(_to_ref(got), ref_out, rtol=2e-3, atol=2e-3)
+
+
+def test_fusion_layer_matches():
+    torch.manual_seed(2)
+    ref = RefFusion(lhs_channels=16, out_channels=8, bn=False,
+                    activation=torch.nn.ReLU(False)).eval()
+    params = {"params": convert_torch_state(_reference.state_dict_numpy(ref))}
+    model = FusionLayer(out_channels=8)
+    rng = np.random.default_rng(2)
+    lhs = rng.standard_normal((1, 2, 8, 8, 16)).astype(np.float32)
+    rhs = rng.standard_normal((1, 2, 16, 16, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(_to_ref(lhs)),
+                      torch.from_numpy(_to_ref(rhs))).numpy()
+    got = np.asarray(model.apply(params, lhs, rhs))
+    np.testing.assert_allclose(_to_ref(got), ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_v1_model_assembly_smoke():
+    """Full v1 assembly: dual Hiera + sangyu head wiring (shapes + finite).
+    (The reference's own assembly needs network access for torch-hub Hiera
+    and scrambles layouts via .view — see vdn/models/video_depth_v1.py.)"""
+    import jax
+    from vdn.models.video_depth_v1 import VideoDepthEstimationModel
+    model = VideoDepthEstimationModel(
+        sequence_length=2, encoder="hiera_tiny",
+        attention_feature_levels=(3,), use_final_relu=True)
+    rng = np.random.default_rng(3)
+    depth = rng.random((1, 2, 64, 64)).astype(np.float32)
+    img = rng.random((1, 2, 64, 64, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), depth, img)
+    out_depth, normal = model.apply(params, depth, img)
+    assert out_depth.shape == (1, 2, 64, 64)
+    assert normal.shape == (1, 2, 64, 64, 3)
+    assert np.isfinite(np.asarray(out_depth)).all()
+    assert (np.asarray(out_depth) >= 0).all()  # final relu

@@ -88,7 +88,13 @@ def convert_torch_state(
             value = value.astype(dtype)
         path = _flax_path(key)
         leaf = path[-1]
-        if leaf == "weight":
+        if leaf == "in_proj_weight":
+            # torch nn.MultiheadAttention packed qkv [3C, C]
+            path[-1:] = ["in_proj", "kernel"]
+            value = value.T
+        elif leaf == "in_proj_bias":
+            path[-1:] = ["in_proj", "bias"]
+        elif leaf == "weight":
             if value.ndim == 4:
                 if any(p.search(key) for p in convt_re):
                     # torch ConvTranspose2d (I, O, kh, kw): flip spatial,

@@ -36,6 +36,10 @@ class VideoDepthAnything(nn.Module):
     compute_dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
     remat: bool = False
+    # mesh axis name for context-parallel temporal attention; the model
+    # must then run under shard_map with the clip's T axis sharded on it
+    # (vdn.parallel.context.make_context_parallel_forward)
+    seq_axis: Optional[str] = None
 
     def setup(self):
         self.pretrained = make_vit(self.encoder, self.param_dtype,
@@ -43,7 +47,8 @@ class VideoDepthAnything(nn.Module):
         self.head = DPTHeadTemporal(
             in_channels=self.pretrained.embed_dim, features=self.features,
             out_channels=self.out_channels, num_frames=self.num_frames,
-            pe=self.pe, param_dtype=self.param_dtype)
+            pe=self.pe, param_dtype=self.param_dtype,
+            seq_axis=self.seq_axis)
 
     def forward_features(self, x: jnp.ndarray):
         """x: [B, T, H, W, 3] -> 4 x (tokens [(B*T), N, C], cls)."""

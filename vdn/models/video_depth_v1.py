@@ -1,0 +1,89 @@
+"""v1 research model: dual-Hiera encoders + sangyu spatiotemporal head.
+
+Re-design of the reference VideoDepthEstimationModel
+(reference models/video_depth_model.py:18-127): one Hiera encoder on RGB,
+one on [depth, nx, ny], per-level feature sums, the sangyu head decoding to
+(depth, dx, dy), and a normal map rebuilt as [-dx, -dy, 1].
+
+Two deliberate deviations from the reference:
+- the encoder is the SAM2 Hiera variant (see vdn/nn/hiera.py docstring);
+  the reference pulls the MAE torch-hub Hiera over the network at runtime
+- the reference reinterprets NHWC encoder features as NCHW via
+  ``.view`` (video_depth_model.py:96-97), scrambling the layout before the
+  head; vdn keeps the layout consistent (NHWC end to end)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vdn.nn.hiera import make_hiera
+from vdn.nn.video_heads import VideoDepthHeadSangyu
+from vdn.ops.normals import normal_vector
+from vdn.ops.resize import resize2d
+
+Dtype = Any
+
+
+class VideoDepthEstimationModel(nn.Module):
+    sequence_length: int = 8
+    attention_feature_levels: Sequence[int] = (2, 3)
+    encoder: str = "hiera_base"
+    use_residual: bool = False
+    use_final_relu: bool = False
+    use_depth_feature: bool = True
+    use_rgb_feature: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.img_encoder = make_hiera(self.encoder, self.param_dtype,
+                                      name="img_encoder")
+        self.depth_encoder = make_hiera(self.encoder, self.param_dtype,
+                                        name="encoder")
+        ch = (96, 192, 384, 768)
+        if self.encoder == "hiera_base_plus":
+            ch = (112, 224, 448, 896)
+        self.head = VideoDepthHeadSangyu(
+            sequence_length=self.sequence_length,
+            attention_feature_levels=tuple(self.attention_feature_levels),
+            feature_channels=ch, param_dtype=self.param_dtype)
+
+    def __call__(self, depth: jnp.ndarray, img: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """depth [B, S, H, W], img [B, S, H, W, 3] ->
+        (depth [B, S, H, W], normal [B, S, H, W, 3])."""
+        b, s, h, w = depth.shape
+        normals = normal_vector(depth)
+        depth_img = jnp.concatenate([depth[..., None], normals[..., :2]],
+                                    axis=-1)
+
+        feats = []
+        if self.use_depth_feature:
+            feats.append(self.depth_encoder(
+                depth_img.reshape(b * s, h, w, 3)))
+        if self.use_rgb_feature:
+            feats.append(self.img_encoder(img.reshape(b * s, h, w, 3)))
+        if len(feats) == 2:
+            levels = [d + r for d, r in zip(*feats)]
+        else:
+            levels = feats[0]
+        levels = [f.reshape(b, s, *f.shape[1:]) for f in levels]
+
+        out = self.head(levels)  # [B, S, h', w', 3]
+        if out.shape[2:4] != (h, w):
+            out = resize2d(out.reshape(b * s, *out.shape[2:]), (h, w),
+                           "bilinear", align_corners=True)
+            out = out.reshape(b, s, h, w, 3)
+
+        out_depth = out[..., 0]
+        if self.use_residual:
+            out_depth = out_depth + depth
+        dx, dy = out[..., 1], out[..., 2]
+        normal = jnp.stack([-dx, -dy, jnp.ones_like(dx)], axis=-1)
+        if self.use_final_relu:
+            out_depth = jax.nn.relu(out_depth)
+        return out_depth, normal

@@ -33,13 +33,15 @@ NUM_CACHE_ENTRIES = CACHE_ENTRIES_PER_MODULE * NUM_MOTION_MODULES
 class DPTHeadTemporal(DPTHead):
     num_frames: int = 32
     pe: str = "ape"
+    seq_axis: Optional[str] = None
 
     def setup(self):
         super().setup()
         kw = dict(num_attention_heads=8, num_transformer_block=1,
                   num_attention_blocks=CACHE_ENTRIES_PER_MODULE,
                   temporal_max_len=self.num_frames,
-                  pos_embedding_type=self.pe, param_dtype=self.param_dtype)
+                  pos_embedding_type=self.pe, param_dtype=self.param_dtype,
+                  seq_axis=self.seq_axis)
         oc = self.out_channels
         self.motion_modules_0 = TemporalModule(oc[2], **kw)
         self.motion_modules_1 = TemporalModule(oc[3], **kw)

@@ -252,8 +252,9 @@ class Hiera(nn.Module):
         return outputs
 
 
-def make_hiera(name: str = "hiera_base", param_dtype=jnp.float32,
+def make_hiera(variant: str = "hiera_base", param_dtype=jnp.float32,
                **kw) -> Hiera:
-    cfg = dict(HIERA_CONFIGS[name])
+    """kw may include flax module kwargs (e.g. name=) and config overrides."""
+    cfg = dict(HIERA_CONFIGS[variant])
     cfg.update(kw)
     return Hiera(param_dtype=param_dtype, **cfg)

@@ -86,6 +86,7 @@ class TemporalAttention(nn.Module):
     temporal_max_len: int = 32
     pos_embedding_type: str = "ape"
     param_dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None  # mesh axis for ring attention
 
     @nn.compact
     def __call__(self, hidden_states: jnp.ndarray, video_length: int,
@@ -100,14 +101,26 @@ class TemporalAttention(nn.Module):
 
         d_in = 0
         if cache is not None:
+            assert self.seq_axis is None, \
+                "streaming decode is single-shard (T=1 per step)"
             d_in = cache.shape[1]
             x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
         t_total = d_in + t_new
 
+        # global frame offset of this shard (0 when not sequence-parallel)
+        if self.seq_axis is not None:
+            from vdn.parallel.context import sequence_position_offset
+            offset = sequence_position_offset(self.seq_axis, t_new)
+        else:
+            offset = 0
+
         if self.pos_embedding_type == "ape":
-            pe = sinusoidal_positional_encoding(self.query_dim,
-                                                self.temporal_max_len)
-            x = x + jnp.asarray(pe[None, :t_total]).astype(x.dtype)
+            pe = jnp.asarray(sinusoidal_positional_encoding(
+                self.query_dim, self.temporal_max_len))
+            pe_slice = jax.lax.dynamic_slice(
+                pe, (offset, 0), (t_total, pe.shape[1])) \
+                if self.seq_axis is not None else pe[:t_total]
+            x = x + pe_slice[None].astype(x.dtype)
         elif self.pos_embedding_type != "rope":
             raise NotImplementedError(self.pos_embedding_type)
 
@@ -123,17 +136,34 @@ class TemporalAttention(nn.Module):
             # reference applies rope on the full inner dim before head split
             # (attention.py:279-282); cache mode is unsupported there too
             assert cache is None, "rope temporal attention has no cache mode"
-            cos, sin = temporal_rope_freqs(self.query_dim, t_total)
-            query = apply_rope(query, cos[:t_new], sin[:t_new])
-            key = apply_rope(key, cos[:t_total], sin[:t_total])
+            cos, sin = temporal_rope_freqs(self.query_dim,
+                                           self.temporal_max_len)
+            if self.seq_axis is not None:
+                cos_l = jax.lax.dynamic_slice(
+                    jnp.asarray(cos), (offset, 0), (t_new, cos.shape[1]))
+                sin_l = jax.lax.dynamic_slice(
+                    jnp.asarray(sin), (offset, 0), (t_new, sin.shape[1]))
+                query = apply_rope(query, cos_l, sin_l)
+                key = apply_rope(key, cos_l, sin_l)
+            else:
+                query = apply_rope(query, cos[:t_new], sin[:t_new])
+                key = apply_rope(key, cos[:t_total], sin[:t_total])
 
         h = self.heads
         dh = c // h
-        out = dot_product_attention(
-            query.reshape(b * n, t_new, h, dh),
-            key.reshape(b * n, t_total, h, dh),
-            value.reshape(b * n, t_total, h, dh),
-            use_flash=False)  # frame axis is short; XLA path wins
+        if self.seq_axis is not None:
+            from vdn.parallel.context import ring_attention
+            out = ring_attention(
+                query.reshape(b * n, t_new, h, dh),
+                key.reshape(b * n, t_total, h, dh),
+                value.reshape(b * n, t_total, h, dh),
+                axis_name=self.seq_axis)
+        else:
+            out = dot_product_attention(
+                query.reshape(b * n, t_new, h, dh),
+                key.reshape(b * n, t_total, h, dh),
+                value.reshape(b * n, t_total, h, dh),
+                use_flash=False)  # frame axis is short; XLA path wins
         out = out.reshape(b * n, t_new, c)
         out = Linear(self.query_dim, param_dtype=self.param_dtype,
                      name="to_out_0")(out)
@@ -150,6 +180,7 @@ class TemporalTransformerBlock(nn.Module):
     temporal_max_len: int = 32
     pos_embedding_type: str = "ape"
     param_dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, video_length: int,
@@ -159,7 +190,7 @@ class TemporalTransformerBlock(nn.Module):
             y = LayerNorm(param_dtype=self.param_dtype, name=f"norms_{i}")(x)
             y, cache_entry = TemporalAttention(
                 self.dim, self.heads, self.temporal_max_len,
-                self.pos_embedding_type, self.param_dtype,
+                self.pos_embedding_type, self.param_dtype, self.seq_axis,
                 name=f"attention_blocks_{i}")(
                     y, video_length,
                     caches[i] if caches is not None else None)
@@ -182,6 +213,7 @@ class TemporalTransformer3D(nn.Module):
     temporal_max_len: int = 32
     pos_embedding_type: str = "ape"
     param_dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, video_length: int,
@@ -200,7 +232,8 @@ class TemporalTransformer3D(nn.Module):
             y, blk_caches = TemporalTransformerBlock(
                 c, self.heads, self.num_attention_blocks,
                 self.temporal_max_len, self.pos_embedding_type,
-                self.param_dtype, name=f"transformer_blocks_{i}")(
+                self.param_dtype, self.seq_axis,
+                name=f"transformer_blocks_{i}")(
                     y, video_length,
                     caches[i * n_per:(i + 1) * n_per]
                     if caches is not None else None)
@@ -226,6 +259,7 @@ class TemporalModule(nn.Module):
     temporal_max_len: int = 32
     pos_embedding_type: str = "ape"
     param_dtype: Dtype = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, video_length: int,
@@ -235,5 +269,5 @@ class TemporalModule(nn.Module):
             self.num_transformer_block, self.num_attention_blocks,
             temporal_max_len=self.temporal_max_len,
             pos_embedding_type=self.pos_embedding_type,
-            param_dtype=self.param_dtype,
+            param_dtype=self.param_dtype, seq_axis=self.seq_axis,
             name="temporal_transformer")(x, video_length, caches)

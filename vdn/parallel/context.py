@@ -1,0 +1,102 @@
+"""Context (sequence) parallelism: ring attention over the frame axis.
+
+The reference has no sequence scaling beyond a fixed 32-frame window
+(SURVEY §2.9/§5) — its temporal attention is `(b·h·w, f, c)` on one GPU.
+On TPU the frame axis shards across ICI: every stage of the video model is
+frame-independent *except* temporal attention, so the whole forward runs
+under shard_map with the clip sharded P(data, seq), and the temporal
+attention becomes a ring: each step computes a blockwise
+(flash-style running-softmax) attention against the local K/V shard, then
+rotates K/V to the next device with ppermute.  Peak memory per chip stays
+O(T/p) and the permute overlaps with the matmuls.
+
+``sequence_position_offset`` gives each shard its global frame offset so
+absolute positional encodings stay correct.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vdn.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+__all__ = ["ring_attention", "sequence_position_offset",
+           "make_context_parallel_forward"]
+
+
+def sequence_position_offset(axis_name: str, t_local: int) -> jnp.ndarray:
+    """Global frame index of this shard's first frame."""
+    return jax.lax.axis_index(axis_name) * t_local
+
+
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   axis_name: str, scale: Optional[float] = None
+                   ) -> jnp.ndarray:
+    """Attention over [B, Tq_local, H, D] with K/V sharded over axis_name.
+
+    Online-softmax combine across ring steps; math matches full attention
+    over the gathered T axis exactly (fp32 softmax statistics)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    p = jax.lax.axis_size(axis_name)
+    b, tq, h, d = q.shape
+
+    qf = q.astype(jnp.float32)
+
+    def step(carry, _):
+        o, m, l, k_cur, v_cur = carry
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, k_cur.astype(jnp.float32))
+        s = s * scale
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        pmat = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)  # [B, H, Tq, 1]
+        l_new = l * corr + jnp.sum(pmat, axis=-1, keepdims=True)
+        o = o * corr + jnp.einsum(
+            "bhqk,bkhd->bhqd", pmat, v_cur.astype(jnp.float32))
+        perm = [(i, (i + 1) % p) for i in range(p)]
+        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (o, m_new, l_new, k_next, v_next), None
+
+    # derive the initial carry from q so it inherits q's varying-manual-axes
+    # type under shard_map (fresh constants would be "unvarying" and trip
+    # the scan carry type check)
+    o0 = jnp.swapaxes(qf, 1, 2) * 0.0               # [B, H, Tq, D]
+    l0 = o0[..., :1]
+    m0 = l0 - 1e30                                   # effective -inf
+    (o, m, l, _, _), _ = jax.lax.scan(step, (o0, m0, l0, k, v),
+                                      None, length=p)
+    out = (o / l).astype(q.dtype)
+    return out.transpose(0, 2, 1, 3)  # [B, Tq, H, D]
+
+
+def make_context_parallel_forward(model, mesh: Mesh):
+    """Jit the clip forward with the frame axis sharded over SEQ_AXIS.
+
+    ``model`` must be constructed with ``seq_axis=SEQ_AXIS`` so its
+    temporal attention uses the ring path.  Returns fn(params, x) for
+    x [B, T, H, W, 3] (B divisible by mesh data dim, T by seq dim)."""
+    from jax import shard_map
+
+    def local_forward(params, x_local):
+        return model.apply(params, x_local)
+
+    sharded = shard_map(
+        local_forward, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, SEQ_AXIS)),
+        out_specs=P(DATA_AXIS, SEQ_AXIS),
+        )
+
+    @jax.jit
+    def fwd(params, x):
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(DATA_AXIS, SEQ_AXIS)))
+        return sharded(params, x)
+
+    return fwd
