@@ -32,12 +32,24 @@ __all__ = ["convert_torch_state", "DEFAULT_CONVT_PATTERNS", "DEFAULT_SKIP"]
 DEFAULT_CONVT_PATTERNS: Sequence[str] = (
     r"resize_layers\.0\.",
     r"resize_layers\.1\.",
+    r"output_upscaling\.0\.",
+    r"output_upscaling\.3\.",
 )
 
 # registered buffers vdn recomputes on the fly
 DEFAULT_SKIP: Sequence[str] = (
     r"\.pe$",                # sinusoidal temporal positional encoding
     r"num_batches_tracked",  # torch BN bookkeeping
+)
+
+# torch nn.Embedding weights: lookup tables, stored verbatim (no transpose)
+DEFAULT_EMBEDDING_PATTERNS: Sequence[str] = (
+    r"(^|\.)iou_token\.weight$",
+    r"(^|\.)mask_tokens\.weight$",
+    r"(^|\.)obj_score_token\.weight$",
+    r"(^|\.)not_a_point_embed\.weight$",
+    r"(^|\.)no_mask_embed\.weight$",
+    r"(^|\.)point_embeddings\.\d+\.weight$",
 )
 
 
@@ -63,6 +75,7 @@ def convert_torch_state(
         state: Mapping[str, np.ndarray],
         convt_patterns: Iterable[str] = DEFAULT_CONVT_PATTERNS,
         skip_patterns: Iterable[str] = DEFAULT_SKIP,
+        embedding_patterns: Iterable[str] = DEFAULT_EMBEDDING_PATTERNS,
         rename: Optional[Callable[[str], Optional[str]]] = None,
         dtype=np.float32) -> Dict:
     """Convert a torch state_dict (as numpy arrays) into a flax params tree.
@@ -71,10 +84,13 @@ def convert_torch_state(
       state: mapping of torch parameter names to numpy arrays.
       convt_patterns: regexes marking ConvTranspose2d weights.
       skip_patterns: regexes for keys to drop.
+      embedding_patterns: regexes for nn.Embedding weights (kept verbatim
+        under the flax leaf name 'embedding').
       rename: optional key rewriter applied first; return None to drop a key.
     """
     convt_re = [re.compile(p) for p in convt_patterns]
     skip_re = [re.compile(p) for p in skip_patterns]
+    embed_re = [re.compile(p) for p in embedding_patterns]
     tree: Dict = {}
     for key, value in state.items():
         if rename is not None:
@@ -88,7 +104,9 @@ def convert_torch_state(
             value = value.astype(dtype)
         path = _flax_path(key)
         leaf = path[-1]
-        if leaf == "in_proj_weight":
+        if leaf == "weight" and any(p.search(key) for p in embed_re):
+            path[-1] = "embedding"
+        elif leaf == "in_proj_weight":
             # torch nn.MultiheadAttention packed qkv [3C, C]
             path[-1:] = ["in_proj", "kernel"]
             value = value.T
