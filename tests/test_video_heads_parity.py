@@ -92,3 +92,26 @@ def test_v1_model_assembly_smoke():
     assert normal.shape == (1, 2, 64, 64, 3)
     assert np.isfinite(np.asarray(out_depth)).all()
     assert (np.asarray(out_depth) >= 0).all()  # final relu
+
+
+def test_head_v2_matches():
+    from models.video_depth_head_v2 import (
+        VideoDepthAnythingHeadV2 as RefHeadV2)
+    from vdn.nn.video_heads import VideoDepthHeadV2
+    torch.manual_seed(4)
+    ref = RefHeadV2(sequence_length=2).eval()
+    params = {"params": convert_torch_state(
+        _reference.state_dict_numpy(ref),
+        convt_patterns=[r"upscale_layers\.\d+\.0\.",
+                        r"final_upscale_layer\.0\.",
+                        r"final_upscale_layer\.3\."])}
+    model = VideoDepthHeadV2(sequence_length=2)
+    rng = np.random.default_rng(4)
+    ch = [96, 192, 384, 768]
+    sizes = [16, 8, 4, 2]
+    feats = [rng.standard_normal((1, 2, sz, sz, c)).astype(np.float32)
+             for sz, c in zip(sizes, ch)]
+    with torch.no_grad():
+        ref_out = ref([torch.from_numpy(_to_ref(f)) for f in feats]).numpy()
+    got = np.asarray(model.apply(params, feats))
+    np.testing.assert_allclose(_to_ref(got), ref_out, rtol=2e-3, atol=2e-3)

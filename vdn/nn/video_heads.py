@@ -349,3 +349,64 @@ class FusionLayer(nn.Module):
         out = Conv2d(self.out_channels, (1, 1), padding=0, param_dtype=pd,
                      name="out_conv")(out)
         return out.reshape(b, s, *out.shape[1:])
+
+
+class VideoDepthHeadV2(nn.Module):
+    """Head v2 (reference models/video_depth_head_v2.py:152-268, the active
+    forward): temporal+spatial attention on the deepest Hiera level, then
+    ConvTranspose/BN upscaling with concat-conv fusion against the raw
+    skip features, final 4x ConvTranspose to (depth, dx, dy).
+
+    Levels 0-2 temporal/spatial layers exist in checkpoints but are unused
+    by the reference forward — instantiated here for key parity.
+    """
+    sequence_length: int = 8
+    feature_channels: Sequence[int] = (96, 192, 384, 768)
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        pd = self.param_dtype
+        ch = self.feature_channels
+        self.temporal_layers = [
+            _AxisAttentionStack(ch[i], 8, 2, temporal=True, param_dtype=pd,
+                                name=f"temporal_layers_{i}")
+            for i in range(4)]
+        self.spatial_layers = [
+            _AxisAttentionStack(ch[i], 8, 1, temporal=False, param_dtype=pd,
+                                name=f"spatial_layers_{i}")
+            for i in range(4)]
+        self.upscale = [
+            (ConvTransposeTorch(ch[i], pd, name=f"upscale_layers_{i}_0"),
+             BatchNorm2d(ch[i], param_dtype=pd,
+                         name=f"upscale_layers_{i}_1"))
+            for i in range(3)]
+        self.final_upscale_layer_0 = ConvTransposeTorch(
+            ch[0] // 2, pd)
+        self.final_upscale_layer_1 = BatchNorm2d(ch[0] // 2, param_dtype=pd)
+        self.final_upscale_layer_3 = ConvTransposeTorch(3, pd)
+        self.final_upscale_layer_4 = BatchNorm2d(3, param_dtype=pd)
+        self.fusion_layer_0 = Conv2d(ch[0], (3, 3), padding=1,
+                                     param_dtype=pd)
+        self.fusion_layer_1 = Conv2d(ch[1], (3, 3), padding=1,
+                                     param_dtype=pd)
+        self.fusion_layer_2 = Conv2d(ch[2], (3, 3), padding=1,
+                                     param_dtype=pd)
+
+    def __call__(self, features: Sequence[jnp.ndarray]) -> jnp.ndarray:
+        """features: 4 x [B, S, H_i, W_i, C_i] -> [B, S, 4*H_0, 4*W_0, 3]."""
+        x = self.temporal_layers[3](features[3])
+        x = self.spatial_layers[3](x)
+        b, s = x.shape[:2]
+        x = x.reshape(b * s, *x.shape[2:])
+        fusions = [self.fusion_layer_0, self.fusion_layer_1,
+                   self.fusion_layer_2]
+        for i in reversed(range(3)):
+            convt, bn = self.upscale[i]
+            x = jax.nn.relu(bn(convt(x)))
+            skip = features[i].reshape(b * s, *features[i].shape[2:])
+            x = fusions[i](jnp.concatenate([x, skip], axis=-1))
+        x = jax.nn.relu(self.final_upscale_layer_1(
+            self.final_upscale_layer_0(x)))
+        x = jax.nn.relu(self.final_upscale_layer_4(
+            self.final_upscale_layer_3(x)))
+        return x.reshape(b, s, *x.shape[1:])
