@@ -77,3 +77,30 @@ def test_rename_map():
         "temporal_head.projects.0.weight"
     assert rename_with_map("pretrained.blocks.0.attn.qkv.weight",
                            V4_RENAME_MAP).startswith("pretrained")
+
+
+def test_v1_trainer_step():
+    from vdn.models.video_depth_v1 import VideoDepthEstimationModel
+    from vdn.train.trainer import V1Trainer
+    model = VideoDepthEstimationModel(sequence_length=2,
+                                      encoder="hiera_tiny",
+                                      attention_feature_levels=(3,))
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb": rng.random((1, 2, 64, 64, 3)).astype(np.float32),
+        "depth_anything_v2": (rng.random((1, 2, 64, 64)) * 65535
+                              ).astype(np.float32),
+        "depth": (rng.random((1, 2, 64, 64)) * 10 + 0.5).astype(np.float32),
+        "mask": np.ones((1, 2, 64, 64), np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0),
+                        batch["depth_anything_v2"] / 65535.0, batch["rgb"])
+    trainer = V1Trainer(model, initial_lr=1e-4, stable_scale=1.0)
+    state = trainer.init_state(params)
+    losses = []
+    for _ in range(3):
+        state, ld = trainer.train_step(state, batch)
+        losses.append(float(ld["total_loss"]))
+        assert "normal_loss" in ld
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -133,9 +133,9 @@ def convert_torch_state(
                                  f"{value.shape}")
         elif leaf == "bias":
             pass
-        elif value.ndim == 4:
-            # rank-4 non-weight params are NCHW spatial tables
-            # (hiera pos_embed / pos_embed_window) -> NHWC
+        elif value.ndim == 4 and leaf in ("pos_embed", "pos_embed_window"):
+            # hiera's NCHW spatial pos-embed tables -> NHWC (other rank-4
+            # params like maskmem_tpos_enc [7,1,1,mem] copy verbatim)
             value = np.transpose(value, (0, 2, 3, 1))
         # everything else (cls_token, pos_embed, mask_token, gamma, ...)
         # copies verbatim under its own name

@@ -11,8 +11,8 @@ The reference builds this tree from hydra yaml configs
 checkpoint key layout (image_encoder.trunk/neck, sam_prompt_encoder,
 sam_mask_decoder, no_mem_embed, obj_ptr_proj, no_obj_ptr).
 
-Video tracking (memory-conditioned track_step) is future work; the memory
-attention/encoder modules it needs already exist in vdn.nn.memory.
+Video tracking (memory-conditioned track_step) lives in
+vdn.models.sam2_video / vdn.pipelines.sam2_video.
 """
 
 from __future__ import annotations
@@ -66,6 +66,7 @@ class Sam2ImageModel(nn.Module):
     pred_obj_scores_mlp: bool = True
     fixed_no_obj_ptr: bool = True
     iou_prediction_use_sigmoid: bool = True
+    use_mlp_for_obj_ptr_proj: bool = False  # sam2.1 video config: True
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -87,7 +88,11 @@ class Sam2ImageModel(nn.Module):
         self.no_mem_embed = self.param("no_mem_embed",
                                        nn.initializers.normal(0.02),
                                        (1, 1, d), pd)
-        self.obj_ptr_proj = Linear(d, param_dtype=pd)
+        if self.use_mlp_for_obj_ptr_proj:
+            from vdn.nn.sam2 import SamGenericMLP
+            self.obj_ptr_proj = SamGenericMLP(d, d, 3, param_dtype=pd)
+        else:
+            self.obj_ptr_proj = Linear(d, param_dtype=pd)
         if self.pred_obj_scores:
             self.no_obj_ptr = self.param("no_obj_ptr",
                                          nn.initializers.normal(0.02),

@@ -1,0 +1,62 @@
+"""Standalone encoder adapters (reference models/dinov2_encoder.py:6-61 and
+models/hiera_image_encoder.py:5-61).
+
+The reference wrappers pull pretrained weights over the network
+(transformers AutoModel / torch.hub); vdn provides the same interfaces over
+its own backbones, with weights loaded from converted checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vdn.nn.hiera import make_hiera
+from vdn.nn.vit import make_vit
+
+Dtype = Any
+
+_DINOV2_SIZES = {
+    "dinov2_vits14": "vits", "facebook/dinov2-small": "vits",
+    "dinov2_vitb14": "vitb", "facebook/dinov2-base": "vitb",
+    "dinov2_vitl14": "vitl", "facebook/dinov2-large": "vitl",
+    "dinov2_vitg14": "vitg", "facebook/dinov2-giant": "vitg",
+}
+
+
+class DINOv2Encoder(nn.Module):
+    """last_hidden_state minus CLS, like the HF AutoModel wrapper
+    (reference models/dinov2_encoder.py:44-60)."""
+    model_name: str = "dinov2_vits14"
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.model = make_vit(_DINOV2_SIZES[self.model_name],
+                              self.param_dtype)
+        self.feature_dim = self.model.embed_dim
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x [B, H, W, 3] -> patch tokens [B, N, C] (CLS dropped)."""
+        tokens = self.model(x)
+        return tokens[:, 1:]
+
+
+class HieraImageEncoder(nn.Module):
+    """4-level feature pyramid, [B, H_i, W_i, C_i] per level
+    (reference models/hiera_image_encoder.py:44-61; vdn substitutes the
+    SAM2-variant Hiera — see vdn/nn/hiera.py docstring)."""
+    model_name: str = "hiera_base_224"
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        variant = self.model_name.replace("_224", "")
+        self.model = make_hiera(variant, self.param_dtype)
+
+    def __call__(self, x: jnp.ndarray
+                 ) -> Tuple[None, List[jnp.ndarray]]:
+        """Returns (None, intermediates) mirroring the reference's
+        (classifier_logits, intermediates) contract — vdn has no
+        classification head."""
+        return None, self.model(x)

@@ -73,7 +73,10 @@ class RoPEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, grid_hw: Tuple[int, int],
-                 bias: Optional[jnp.ndarray] = None):
+                 bias: Optional[jnp.ndarray] = None,
+                 num_k_exclude_rope: int = 0):
+        """num_k_exclude_rope: trailing kv tokens (SAM2 object pointers)
+        that skip the rotary encoding (reference transformer.py:293-302)."""
         c = self.embedding_dim
         h = self.num_heads
         dh = c // h
@@ -93,9 +96,13 @@ class RoPEAttention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
-        repeat = nk // nq
-        assert repeat * nq == nk and (repeat == 1 or self.rope_k_repeat)
-        k = apply_rope(k, cos, sin, repeat_k=repeat)
+        num_k_rope = nk - num_k_exclude_rope
+        repeat = num_k_rope // nq
+        assert repeat * nq == num_k_rope and (
+            repeat == 1 or self.rope_k_repeat)
+        k_rope = apply_rope(k[:, :, :num_k_rope], cos, sin, repeat_k=repeat)
+        k = jnp.concatenate([k_rope, k[:, :, num_k_rope:]], axis=2) \
+            if num_k_exclude_rope else k_rope
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
 
@@ -113,27 +120,39 @@ class MemoryAttentionLayer(nn.Module):
     num_heads: int
     dim_feedforward: int
     param_dtype: Dtype = jnp.float32
+    activation: str = "gelu"                    # sam2 video config: "relu"
+    pos_enc_at_cross_attn_queries: bool = True  # sam2 video config: False
+    pos_enc_at_cross_attn_keys: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, grid_hw,
-                 bias: Optional[jnp.ndarray] = None):
+                 bias: Optional[jnp.ndarray] = None,
+                 memory_pos: Optional[jnp.ndarray] = None,
+                 num_k_exclude_rope: int = 0):
         pd = self.param_dtype
         # self-attention (pos_enc_at_attn=False)
         t2 = LayerNorm(epsilon=1e-5, param_dtype=pd, name="norm1")(tgt)
         t2 = RoPEAttention(self.d_model, self.num_heads, False, pd,
                            name="self_attn")(t2, t2, t2, grid_hw)
         tgt = tgt + t2
-        # cross-attention: q gets pos enc, k does not
+        # cross-attention (pos-enc placement per flags)
         t2 = LayerNorm(epsilon=1e-5, param_dtype=pd, name="norm2")(tgt)
+        q_in = (t2 + query_pos if self.pos_enc_at_cross_attn_queries
+                else t2)
+        k_in = memory
+        if self.pos_enc_at_cross_attn_keys and memory_pos is not None:
+            k_in = memory + memory_pos
         t2 = RoPEAttention(self.d_model, self.num_heads, True, pd,
                            name="cross_attn_image")(
-                               t2 + query_pos, memory, memory, grid_hw,
-                               bias=bias)
+                               q_in, k_in, memory, grid_hw, bias=bias,
+                               num_k_exclude_rope=num_k_exclude_rope)
         tgt = tgt + t2
         # FFN
         t2 = LayerNorm(epsilon=1e-5, param_dtype=pd, name="norm3")(tgt)
         t2 = Linear(self.dim_feedforward, param_dtype=pd, name="linear1")(t2)
-        t2 = jax.nn.gelu(t2, approximate=False)
+        act = jax.nn.relu if self.activation == "relu" else (
+            lambda x: jax.nn.gelu(x, approximate=False))
+        t2 = act(t2)
         t2 = Linear(self.d_model, param_dtype=pd, name="linear2")(t2)
         return tgt + t2
 
@@ -145,16 +164,28 @@ class MemoryAttention(nn.Module):
     num_heads: int
     num_layers: int = 4
     param_dtype: Dtype = jnp.float32
+    dim_feedforward: Optional[int] = None  # default d_model*2 (fork config)
+    activation: str = "gelu"
+    pos_enc_at_cross_attn_queries: bool = True
+    pos_enc_at_cross_attn_keys: bool = False
 
     @nn.compact
     def __call__(self, curr, memory, curr_pos, grid_hw,
-                 bias: Optional[jnp.ndarray] = None):
+                 bias: Optional[jnp.ndarray] = None,
+                 memory_pos: Optional[jnp.ndarray] = None,
+                 num_k_exclude_rope: int = 0):
         out = curr + 0.1 * curr_pos
+        dff = self.dim_feedforward or self.d_model * 2
         for i in range(self.num_layers):
             out = MemoryAttentionLayer(
-                self.d_model, self.num_heads, self.d_model * 2,
-                self.param_dtype, name=f"layers_{i}")(
-                    out, memory, curr_pos, grid_hw, bias=bias)
+                self.d_model, self.num_heads, dff,
+                self.param_dtype, self.activation,
+                self.pos_enc_at_cross_attn_queries,
+                self.pos_enc_at_cross_attn_keys,
+                name=f"layers_{i}")(
+                    out, memory, curr_pos, grid_hw, bias=bias,
+                    memory_pos=memory_pos,
+                    num_k_exclude_rope=num_k_exclude_rope)
         return LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype,
                          name="norm")(out)
 

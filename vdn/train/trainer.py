@@ -193,3 +193,67 @@ class RefineTrainer:
                                jnp.asarray(batch["depth"]),
                                jnp.asarray(batch["mask"]).astype(
                                    jnp.float32))
+
+
+class V1Trainer:
+    """v1 research-model training (reference scripts/train.py:413-460):
+    depth+normal objective over the dual-Hiera model — VideoDepthLoss +
+    VideoNormalLoss * normal_loss_scale, same AdamW + warm-restart
+    schedule, input depths scaled and GT converted to disparity."""
+
+    def __init__(self, model, initial_lr: float = 1e-5,
+                 final_lr: float = 0.0, t_0: int = 10_000, t_mult: int = 2,
+                 alpha: float = 0.5, stable_scale: float = 10.0,
+                 normal_loss_scale: float = 1.0,
+                 input_depth_max: float = 65535.0,
+                 weight_decay: float = 0.01):
+        from vdn.ops.normals import normal_vector
+        from vdn.train.losses import video_normal_loss
+
+        self.model = model
+        self.normal_loss_scale = normal_loss_scale
+        self.input_depth_max = input_depth_max
+        self.loss_kwargs = dict(alpha=alpha, stable_scale=stable_scale)
+        schedule = cosine_warm_restarts(initial_lr, t_0, t_mult, final_lr)
+        self.tx = optax.adamw(schedule, weight_decay=weight_decay)
+
+        def loss_fn(params, input_depths, rgbs, gt_disp, masks):
+            pred_depths, pred_normals = model.apply(params, input_depths,
+                                                    rgbs)
+            depth_dict = video_depth_loss(pred_depths, gt_disp, masks,
+                                          **self.loss_kwargs)
+            gt_normals = normal_vector(gt_disp)
+            normal_dict = video_normal_loss(pred_normals, gt_normals,
+                                            masks)
+            total = (depth_dict["total_loss"]
+                     + normal_dict["normal_loss"] * normal_loss_scale)
+            return total, {**depth_dict, **normal_dict,
+                           "total_loss": total}
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, input_depths, rgbs, gt_depths, masks):
+            gt_disp = 1.0 / jnp.clip(gt_depths, 1e-8, None)
+            (_, loss_dict), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, input_depths, rgbs,
+                                       gt_disp, masks)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss_dict
+
+        self._train_step = train_step
+
+    def init_state(self, params) -> TrainState:
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    def train_step(self, state, batch):
+        """batch: rgb [B,S,H,W,3] 0-1, depth_anything_v2/depth/mask
+        [B,S,H,W] (reference train.py:426-440 preprocessing)."""
+        rgbs = preprocess_rgb_sequences(jnp.asarray(batch["rgb"]))
+        input_depths = preprocess_depth_sequences(
+            jnp.asarray(batch["depth_anything_v2"]),
+            jnp.asarray(batch["mask"]), norm=False) / self.input_depth_max
+        return self._train_step(
+            state, input_depths, rgbs, jnp.asarray(batch["depth"]),
+            jnp.asarray(batch["mask"]).astype(jnp.float32))
