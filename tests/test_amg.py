@@ -1,0 +1,100 @@
+"""AMG utils parity vs reference sam2/utils/amg.py + generator smoke."""
+
+import numpy as np
+import pytest
+import torch
+
+from tests import _reference
+
+_reference.add_reference_to_path()
+
+from sam2.utils import amg as ref_amg  # noqa: E402
+
+from vdn.ops import amg as M  # noqa: E402
+
+
+def _random_masks(seed, n=4, h=24, w=32):
+    return np.random.default_rng(seed).random((n, h, w)) > 0.6
+
+
+def test_rle_roundtrip_matches_reference():
+    masks = _random_masks(0)
+    ref_rles = ref_amg.mask_to_rle_pytorch(torch.from_numpy(masks))
+    for i in range(masks.shape[0]):
+        got = M.mask_to_rle(masks[i])
+        assert got["counts"] == ref_rles[i]["counts"]
+        assert got["size"] == ref_rles[i]["size"]
+        np.testing.assert_array_equal(M.rle_to_mask(got), masks[i])
+        assert M.area_from_rle(got) == int(masks[i].sum())
+
+
+def test_stability_and_boxes_match():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((5, 16, 20)).astype(np.float32) * 3
+    ref = ref_amg.calculate_stability_score(
+        torch.from_numpy(logits), 0.0, 1.0).numpy()
+    got = M.calculate_stability_score(logits, 0.0, 1.0)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+    masks = _random_masks(2)
+    masks[0] = False  # empty mask -> zero box
+    ref_boxes = ref_amg.batched_mask_to_box(torch.from_numpy(masks)).numpy()
+    got_boxes = M.batched_mask_to_box(masks)
+    np.testing.assert_array_equal(got_boxes, ref_boxes)
+
+
+def test_point_grids_and_crop_boxes_match():
+    np.testing.assert_allclose(M.build_point_grid(4),
+                               ref_amg.build_point_grid(4))
+    ref_boxes, ref_layers = ref_amg.generate_crop_boxes((100, 150), 2, 0.3)
+    got_boxes, got_layers = M.generate_crop_boxes((100, 150), 2, 0.3)
+    assert got_boxes == ref_boxes and got_layers == ref_layers
+
+
+def test_remove_small_regions_matches():
+    # a big blob with a small hole and a tiny island
+    mask = np.zeros((30, 30), bool)
+    mask[5:25, 5:25] = True
+    mask[10:12, 10:12] = False   # hole of 4 px
+    mask[0:2, 27:29] = True      # island of 4 px
+    for mode in ("holes", "islands"):
+        ref_out, ref_mod = ref_amg.remove_small_regions(mask.copy(), 10,
+                                                        mode)
+        got_out, got_mod = M.remove_small_regions(mask.copy(), 10, mode)
+        np.testing.assert_array_equal(got_out, ref_out)
+        assert got_mod == ref_mod
+
+
+def test_nms_prefers_high_scores():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                     np.float32)
+    scores = np.array([0.5, 0.9, 0.8])
+    keep = M.nms_boxes(boxes, scores, 0.5)
+    assert list(keep) == [1, 2]
+
+
+@pytest.mark.slow
+def test_automatic_mask_generator_smoke():
+    import jax
+    from vdn.nn.hiera import HIERA_CONFIGS
+    from vdn.models.sam2_image import Sam2ImageModel, Sam2ImagePredictor
+    from vdn.pipelines.sam2_amg import Sam2AutomaticMaskGenerator
+    HIERA_CONFIGS["amg_mini"] = dict(
+        embed_dim=32, num_heads=1, stages=(1, 1, 2, 1),
+        global_att_blocks=(3,), window_spec=(8, 4, 14, 7),
+        window_pos_embed_bkg_spatial_size=(14, 14))
+    model = Sam2ImageModel(trunk_variant="amg_mini", d_model=32,
+                           image_size=128)
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 128, 128, 3), np.float32))
+    pred = Sam2ImagePredictor(model, params)
+    gen = Sam2AutomaticMaskGenerator(pred, points_per_side=2,
+                                     pred_iou_thresh=-1.0,
+                                     stability_score_thresh=0.0)
+    img = np.random.default_rng(0).integers(0, 255, (96, 96, 3), np.uint8)
+    records = gen.generate(img)
+    assert isinstance(records, list)
+    for r in records:
+        assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou"}
+        m = np.asarray(r["segmentation"]["counts"]).sum()
+        assert m == 96 * 96  # counts sum to the pixel count

@@ -57,3 +57,61 @@ def test_context_parallel_video_model_matches(pe):
     with mesh:
         got = np.asarray(fwd(params, x))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ulysses_matches_ring_and_full():
+    from vdn.parallel.context import set_cp_mode, ulysses_attention
+    mesh = make_mesh(data=1, seq=8)
+    rng = np.random.default_rng(5)
+    n, t, h, d = 16, 16, 2, 8
+    q = rng.standard_normal((n, t, h, d)).astype(np.float32)
+    k = rng.standard_normal((n, t, h, d)).astype(np.float32)
+    v = rng.standard_normal((n, t, h, d)).astype(np.float32)
+    from vdn.ops.attention import _xla_attention
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), d ** -0.5))
+    uly = shard_map(
+        lambda q, k, v: ulysses_attention(q, k, v, SEQ_AXIS),
+        mesh=mesh,
+        in_specs=(P(None, SEQ_AXIS),) * 3,
+        out_specs=P(None, SEQ_AXIS), check_vma=False)
+    with mesh:
+        got = np.asarray(jax.jit(uly)(q, k, v))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    # full video model under alltoall mode matches single-device
+    cfg = dict(encoder="vits", features=32, out_channels=(32, 32, 64, 64),
+               use_flash=False)
+    single = VideoDepthAnything(**cfg)
+    parallel = VideoDepthAnything(**cfg, seq_axis=SEQ_AXIS)
+    x = rng.standard_normal((1, 8, 56, 56, 3)).astype(np.float32)
+    params = single.init(jax.random.PRNGKey(0), x[:, :2])
+    ref_out = np.asarray(single.apply(params, x))
+    mesh2 = make_mesh(data=2, seq=4)
+    set_cp_mode("alltoall")
+    try:
+        fwd = make_context_parallel_forward(parallel, mesh2)
+        with mesh2:
+            got_out = np.asarray(fwd(params, np.tile(x, (2, 1, 1, 1, 1))))
+    finally:
+        set_cp_mode("ring")
+    np.testing.assert_allclose(got_out[:1], ref_out, rtol=2e-4, atol=2e-4)
+
+
+def test_vit_tensor_parallel_matches():
+    from vdn.nn.vit import make_vit
+    from vdn.parallel.sharding import shard_params, vit_tp_rules
+    from vdn.parallel.mesh import MODEL_AXIS
+    mesh = make_mesh(data=1, seq=1, model=8)
+    model = make_vit("vits", use_flash=False)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 56, 56, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(model.apply(params, x))
+    with mesh:
+        sharded = shard_params(params, mesh)
+        got = np.asarray(jax.jit(model.apply)(sharded, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    # the wide kernels must actually be sharded over the model axis
+    qkv = sharded["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert len(qkv.sharding.device_set) == 8

