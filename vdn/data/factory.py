@@ -9,7 +9,6 @@ numpy batches for the jitted train step.
 from __future__ import annotations
 
 import concurrent.futures
-import threading
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np

@@ -9,7 +9,7 @@ square crop for training.  Returns NHWC numpy samples
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import cv2
 import numpy as np

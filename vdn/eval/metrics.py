@@ -10,7 +10,7 @@ Shapes: [T, H, W] (sequence of frames); valid_mask boolean.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

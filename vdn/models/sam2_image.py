@@ -17,7 +17,7 @@ vdn.models.sam2_video / vdn.pipelines.sam2_video.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -19,18 +19,16 @@ jit-able methods on Sam2VideoModel.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vdn.models.sam2_image import Sam2ImageModel, NO_OBJ_SCORE
+from vdn.models.sam2_image import Sam2ImageModel
 from vdn.nn.layers import Conv2d, LayerNorm, Linear
-from vdn.nn.memory import CXBlock, Fuser, MemoryAttention
-from vdn.nn.sam2 import SamGenericMLP
-from vdn.ops.resize import resize2d
+from vdn.nn.memory import Fuser, MemoryAttention
 from vdn.ops.sine_pe import sine_position_embedding_2d
 
 Dtype = Any

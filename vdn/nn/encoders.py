@@ -8,7 +8,7 @@ its own backbones, with weights loaded from converted checkpoints.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -14,14 +14,14 @@ and has in-repo reference semantics to test against.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vdn.nn.layers import Conv2d, LayerNorm, Linear, Mlp
+from vdn.nn.layers import Conv2d, LayerNorm, Linear
 from vdn.ops.attention import dot_product_attention
 from vdn.ops.resize import resize2d
 

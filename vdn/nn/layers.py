@@ -8,14 +8,13 @@ reference outputs (see tests/test_vit_parity.py).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from vdn.core.dtypes import Policy, FP32
 
 Dtype = Any
 

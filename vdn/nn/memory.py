@@ -19,8 +19,7 @@ State flows functionally: ``forward(feature, state)`` reads,
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

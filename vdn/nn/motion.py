@@ -21,7 +21,7 @@ consumes the same number from the previous window.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import flax.linen as nn
 import jax

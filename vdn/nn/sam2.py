@@ -12,7 +12,6 @@ vdn.nn.hiera.  NHWC feature maps, tokens [B, N, C].
 
 from __future__ import annotations
 
-import math
 from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -16,7 +16,6 @@ absolute positional encodings stay correct.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
