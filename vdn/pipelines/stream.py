@@ -51,22 +51,23 @@ class VideoDepthStreamPipeline:
                 return m.forward_depth(f, x.shape)
             return model.apply(params, x, method=run)
 
-        def step(params, x, buffers, sel):
+        def step(params, x, buffers, sel, slot):
+            """Decode one frame AND write its cache entry — one dispatch
+            per frame (the tunnel's per-call latency dominates at batch 1,
+            so fusing decode+write measurably helps)."""
             def run(m, x):
                 caches = tuple(buf[:, sel] for buf in buffers)
                 f = m.forward_features(x)
                 return m.forward_depth(f, x.shape, caches=caches)
-            return model.apply(params, x, method=run)
-
-        def write(buffers, entries, slot):
-            return tuple(
+            depth, entries = model.apply(params, x, method=run)
+            new_buffers = tuple(
                 jax.lax.dynamic_update_slice(buf, e.astype(buf.dtype),
                                              (0, slot, 0))
                 for buf, e in zip(buffers, entries))
+            return depth, new_buffers
 
         self._first = jax.jit(first)
-        self._step = jax.jit(step)
-        self._write = jax.jit(write, donate_argnums=(0,))
+        self._step = jax.jit(step, donate_argnums=(2,))
 
     def reset(self):
         self.slots, self.free, self.buffers = [], [], None
@@ -105,10 +106,10 @@ class VideoDepthStreamPipeline:
         else:
             sel = self.slots[0:2] + self.slots[-(INFER_LEN - 3):]
             assert len(sel) == INFER_LEN - 1
-            depth, entries = self._step(self.params, x, self.buffers,
-                                        jnp.asarray(sel, jnp.int32))
             slot = self.free.pop()
-            self.buffers = self._write(self.buffers, entries, slot)
+            depth, self.buffers = self._step(
+                self.params, x, self.buffers,
+                jnp.asarray(sel, jnp.int32), jnp.asarray(slot, jnp.int32))
             self.slots.append(slot)
 
         # sliding-window eviction (reference :155-158)
