@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--alpha", type=float, default=0.5)
     parser.add_argument("--stable-scale", type=float, default=10.0)
     parser.add_argument("--ssim-loss-scale", type=float, default=0.0)
+    parser.add_argument("--freeze-temporal-head", type=int, default=None,
+                        help="1/0; default: frozen for v4/v5 (reference "
+                        "train_v4.py:493), trainable for v2/v3")
     parser.add_argument("--use-residual", action="store_true", default=True)
     parser.add_argument("--input-normal", action="store_true", default=True)
     parser.add_argument("--checkpoint-dir", default="./checkpoints")
@@ -81,10 +84,13 @@ def main(argv=None):
     else:
         params = model.init(jax.random.PRNGKey(args.seed), init_x)
 
+    freeze = (args.model_version >= 4 if args.freeze_temporal_head is None
+              else bool(args.freeze_temporal_head))
     trainer = RefineTrainer(
         model, initial_lr=args.initial_lr, final_lr=args.final_lr,
         alpha=args.alpha, stable_scale=args.stable_scale,
-        ssim_loss_scale=args.ssim_loss_scale)
+        ssim_loss_scale=args.ssim_loss_scale,
+        freeze_temporal_head=freeze)
     state = trainer.init_state(params)
 
     logger = MetricWriter(args.log_dir)
