@@ -197,15 +197,25 @@ class Sam2ImagePredictor:
         self._features = self._encode(self.params, img[None])
 
     def predict(self, point_coords=None, point_labels=None,
-                multimask_output: bool = True):
-        """point_coords in original-image pixels -> (masks [M, H, W] bool,
-        ious [M], low_res_logits [M, 256, 256])."""
+                box=None, multimask_output: bool = True):
+        """point_coords / box in original-image pixels ->
+        (masks [M, H, W] bool, ious [M], low_res_logits).  A box prompt is
+        encoded as two labeled corner points (labels 2/3), matching the
+        reference predictor's box path."""
         assert self._features is not None, "call set_image first"
         h, w = self._orig_hw
         s = self.model.image_size
-        pc = np.asarray(point_coords, np.float32)[None] * np.array(
-            [s / w, s / h], np.float32)
-        pl = np.asarray(point_labels, np.float32)[None]
+        scale = np.array([s / w, s / h], np.float32)
+        pts, lbls = [], []
+        if point_coords is not None:
+            pts.append(np.asarray(point_coords, np.float32) * scale)
+            lbls.append(np.asarray(point_labels, np.float32))
+        if box is not None:
+            corners = np.asarray(box, np.float32).reshape(2, 2) * scale
+            pts.append(corners)
+            lbls.append(np.asarray([2.0, 3.0], np.float32))
+        pc = np.concatenate(pts, axis=0)[None]
+        pl = np.concatenate(lbls, axis=0)[None]
         low, high, ious, _, _ = self._predict(self.params, self._features,
                                               pc, pl, multimask_output)
         masks = resize2d(np.asarray(high).transpose(0, 2, 3, 1), (h, w),
