@@ -33,5 +33,18 @@ def test_matches_xla_attention(tq, tk, d):
                                     jnp.asarray(v), scale))
     got = np.asarray(fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
                                         jnp.asarray(v), scale=scale,
-                                        block_q=128, block_k=128))
+                                        block_q=128))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("t,h,d", [(300, 3, 64), (130, 2, 32)])
+def test_qkv_fused_matches_xla(t, h, d):
+    rng = np.random.default_rng(1)
+    qkv = rng.standard_normal((2, t, 3, h, d)).astype(np.float32)
+    scale = d ** -0.5
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), scale))
+    got = np.asarray(fa.flash_attention_qkv(jnp.asarray(qkv), block_q=128))
+    got = got.transpose(0, 2, 1, 3)  # kernel returns [B, H, T, D]
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -1,0 +1,70 @@
+"""Summarize a jax.profiler trace: top self-time ops on the TPU device.
+
+Usage: python tools/parse_trace.py profiles/clip
+Reads the newest .xplane.pb under the trace dir and prints a per-op-category
+and per-op table of device self time.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+from collections import defaultdict
+
+
+def find_xplane(trace_dir: str) -> str:
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise SystemExit(f"no .xplane.pb under {trace_dir}")
+    return max(paths, key=os.path.getmtime)
+
+
+def main():
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "profiles/clip"
+    path = find_xplane(trace_dir)
+    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    xspace = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        ev_meta = plane.event_metadata
+        stats_meta = plane.stat_metadata
+        # XLA op events live on XLA Ops lines; aggregate self-time by HLO
+        per_op = defaultdict(float)
+        per_cat = defaultdict(float)
+        total = 0.0
+        for line in plane.lines:
+            if "XLA Op" not in line.name and "XLA Ops" not in line.name:
+                continue
+            for ev in line.events:
+                meta = ev_meta[ev.metadata_id]
+                dur = ev.duration_ps / 1e9  # ms
+                name = meta.name
+                cat = ""
+                for st in list(ev.stats) + list(meta.stats):
+                    sname = stats_meta[st.metadata_id].name
+                    if sname in ("hlo_category", "equation", "tf_op"):
+                        if sname == "hlo_category":
+                            cat = st.str_value or stats_meta[
+                                st.metadata_id].name
+                per_op[name] += dur
+                per_cat[cat or name.split(".")[0].split("(")[0]] += dur
+                total += dur
+        if not per_op:
+            continue
+        print(f"== plane: {plane.name}  total XLA-op time {total:.2f} ms ==")
+        print("-- by category --")
+        for k, v in sorted(per_cat.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"{v:10.2f} ms  {100*v/total:5.1f}%  {k}")
+        print("-- top ops --")
+        for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
+            print(f"{v:10.2f} ms  {100*v/total:5.1f}%  {k[:110]}")
+
+
+if __name__ == "__main__":
+    main()

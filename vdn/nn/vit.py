@@ -77,12 +77,23 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [B, N, C]
+        from vdn.ops.attention import flash_enabled
+
         b, n, c = x.shape
         h = self.num_heads
         qkv = Linear(3 * c, param_dtype=self.param_dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, h, c // h)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, use_flash=self.use_flash)
+        use_flash = self.use_flash
+        if use_flash is None:
+            use_flash = flash_enabled(n, n)
+        if use_flash:
+            # fused-qkv kernel: blocks slice q/k/v per (batch, head) out of
+            # the projection output, skipping the [B,H,T,D] HBM transposes
+            from vdn.ops.pallas.flash_attention import flash_attention_qkv
+            out = flash_attention_qkv(qkv).transpose(0, 2, 1, 3)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            out = dot_product_attention(q, k, v, use_flash=False)
         out = out.reshape(b, n, c)
         return Linear(c, param_dtype=self.param_dtype, name="proj")(out)
 

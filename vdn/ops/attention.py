@@ -47,20 +47,26 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if use_flash is None:
-        # TODO(perf): auto-enable once the Pallas kernel beats the XLA path
-        # at ViT shapes (currently 29ms vs 15ms for a vitl 32-frame window;
-        # the kernel is correct — see tests/test_flash_attention.py — but
-        # needs block/pipeline tuning on v5e).
-        use_flash = False
+        use_flash = flash_enabled(q.shape[1], k.shape[1], bias)
     if use_flash:
         from vdn.ops.pallas.flash_attention import flash_attention
         return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale, bias)
 
 
+def flash_enabled(tq: int, tk: int, bias=None) -> bool:
+    """Auto policy: the full-K Pallas kernel wins by >100x at ViT shapes on
+    TPU (2.1 ms vs 328 ms for one vitl 32-frame-window layer, 116 TF/s —
+    tools/bench_attention.py; the XLA path stages fp32 [B,H,T,T] logits in
+    HBM).  Short sequences (temporal attention, f<=32) and biased attention
+    stay on the XLA path."""
+    return (bias is None and tq >= _FLASH_MIN_SEQ and tk >= _FLASH_MIN_SEQ
+            and _on_tpu())
+
+
 @functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
     try:
-        return jax.devices()[0].platform == "tpu"
+        return jax.default_backend() == "tpu"
     except Exception:
         return False

@@ -1,17 +1,28 @@
 """Pallas flash attention (TPU) — the ViT encoder hot path.
 
 Replaces the reference's xformers memory-efficient attention
-(reference depth_anything_v2/dinov2_layers/attention.py:64-81) with a
-blockwise streaming-softmax kernel: logits never materialize in HBM
-(the XLA einsum path would stage a [B, H, T, T] fp32 tensor — ~3.8 GB for a
-32-frame vitl window), and the running max/sum rescaling keeps softmax in
-fp32 while inputs stay bf16 on the MXU.
+(reference depth_anything_v2/dinov2_layers/attention.py:64-81).  The XLA
+einsum path materializes fp32 logits [B, H, T, T] in HBM — ~3.8 GB for a
+32-frame vitl window — and round-1 profiling showed that tensor's traffic
+alone was >50% of device time (669 GB/s sustained, 0.1 TF/s).  This kernel
+keeps logits in VMEM.
 
-Layout: inputs [B, T, H, D] (library convention) are transposed/reshaped to
-[B*H, T, D] on entry; T is padded to the q/k block size and D to the 128-lane
-width, with -inf masking of padded key columns inside the kernel.  Grid is
-(batch*heads, q-blocks, k-blocks) with the k axis sequential so the
-accumulator scratch carries across k steps.
+Design (v2 — the round-1 kernel used a (bh, nq, nk) grid of 256-wide
+blocks with online-softmax scratch carries; at ViT shapes the 18k tiny
+grid steps' overhead made it *slower* than XLA, 29 ms vs 16 ms):
+
+- **Full-K blocking**: each grid step loads one q block plus the ENTIRE
+  K/V for that batch*head row and computes complete softmax rows in one
+  shot (exact fp32 softmax, no running-max corrections, no scratch).
+  At ViT scale (T=1370, D=64) a whole head's K/V is ~350 KB — tiny next
+  to the 128 MB VMEM — so flash-style streaming over K is pure overhead.
+- **No HBM padding**: Pallas tolerates block shapes that do not divide
+  the array; out-of-bounds q rows are dropped on store, and K stays
+  un-padded so no masking of key columns is needed at all.  D=64 rides
+  in the 128-lane minor dim at half occupancy, which costs the same MXU
+  cycles as padding (contraction 64 <= 128) but half the HBM traffic.
+- grid = (B*H, ceil(T/block_q)); K/V blocks are revisited across the q
+  axis, so they are DMA'd once per batch*head row.
 """
 
 from __future__ import annotations
@@ -21,108 +32,67 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
-NEG_INF = -1e30
+# target q rows per grid step; actual block is fitted to T (see _pick_block)
+DEFAULT_BLOCK_Q = 768
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  scale: float, kv_len: int, block_k: int):
-    j = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(j == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]  # [bq, d]
-    k = k_ref[0]  # [bk, d]
+    k = k_ref[0]  # [tk, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [bq, bk]
-
-    # mask padded key columns
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
-
-    m_prev = m_ref[:, :1]                            # [bq, 1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)                           # [bq, bk] f32
-    correction = jnp.exp(m_prev - m_new)             # [bq, 1]
-    l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-
+        preferred_element_type=jnp.float32) * scale      # [bq, tk] f32
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [bq, d]
-    acc_ref[:] = acc_ref[:] * correction + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(j == nk - 1)
-    def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)              # [bq, d]
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
 
 
-def _pad_to(x, size, axis):
-    pad = size - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+def _pick_block(tq: int, target: int) -> int:
+    """Largest multiple-of-128 block <= target covering tq evenly-ish."""
+    if tq <= target:
+        return tq
+    n = pl.cdiv(tq, target)
+    return min(tq, pl.cdiv(tq, n * 128) * 128)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
-def _flash_bhtd(q, k, v, scale: float, block_q: int, block_k: int):
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _flash_bhtd(q, k, v, scale: float, block_q: int):
     """q [BH, Tq, D], k/v [BH, Tk, D] -> [BH, Tq, D]."""
     bh, tq, d = q.shape
     tk = k.shape[1]
-    d_pad = max(128, int(np.ceil(d / 128)) * 128)
-    tq_pad = int(np.ceil(tq / block_q)) * block_q
-    tk_pad = int(np.ceil(tk / block_k)) * block_k
-    qp = _pad_to(_pad_to(q, tq_pad, 1), d_pad, 2)
-    kp = _pad_to(_pad_to(k, tk_pad, 1), d_pad, 2)
-    vp = _pad_to(_pad_to(v, tk_pad, 1), d_pad, 2)
+    bq = _pick_block(tq, block_q)
 
-    grid = (bh, tq_pad // block_q, tk_pad // block_k)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=tk,
-                          block_k=block_k),
+    grid = (bh, pl.cdiv(tq, bq))
+    flops = 4 * bh * tq * tk * d
+    return pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad),
-                               lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d_pad), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d_pad), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * tq_pad * tk_pad * d_pad,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=bh * tq_pad * tk_pad),
-    )(qp, kp, vp)
-    return out[:, :tq, :d]
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * tq * tk),
+    )(q, k, v)
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+                    block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
     """Attention over [B, T, H, D] (same contract as the XLA path in
     vdn.ops.attention)."""
     if scale is None:
@@ -134,5 +104,61 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
 
     out = _flash_bhtd(to_bhtd(q, tq), to_bhtd(k, tk), to_bhtd(v, tk),
-                      float(scale), block_q, block_k)
+                      float(scale), block_q)
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+
+
+def _flash_qkv_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, scale: float, hb: int):
+    # qkv_q [1, bq, 1, hb, d]; qkv_k/v [1, tk, 1, hb, d]; o [1, hb, bq, d]
+    # Mosaic requires dot batch dims at position 0: head-major in VMEM
+    q = jnp.swapaxes(qkv_q[0, :, 0], 0, 1)  # [hb, bq, d]
+    k = jnp.swapaxes(qkv_k[0, :, 0], 0, 1)  # [hb, tk, d]
+    v = jnp.swapaxes(qkv_v[0, :, 0], 0, 1)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale   # [hb, bq, tk]
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # [hb, bq, d]
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def flash_attention_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
+                        block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
+    """Self-attention straight from the fused projection: qkv [B, T, 3, H, D]
+    -> [B, H, T, D].  The kernel block-slices q/k/v per (batch, head-group)
+    out of the fused tensor, so the three [B,T,H,D] -> [B*H,T,D] input HBM
+    transposes are never staged (those cost ~2 ms/layer at vitl-518 window
+    shapes); attention runs as head-batched MXU dots.  Head groups are 8
+    wide (Pallas requires sublane-divisible block dims)."""
+    b, t, three, h, d = qkv.shape
+    assert three == 3
+    if scale is None:
+        scale = d ** -0.5
+    # head-group width: sublane-divisible (8) or the full head dim
+    hb = 8 if h % 8 == 0 and h > 8 else h
+    bq = _pick_block(t, block_q)
+    grid = (b, h // hb, pl.cdiv(t, bq))
+    out = pl.pallas_call(
+        functools.partial(_flash_qkv_kernel, scale=float(scale), hb=hb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 1, hb, d), lambda b, g, i: (b, i, 0, g, 0)),
+            pl.BlockSpec((1, t, 1, hb, d), lambda b, g, i: (b, 0, 1, g, 0)),
+            pl.BlockSpec((1, t, 1, hb, d), lambda b, g, i: (b, 0, 2, g, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hb, bq, d), lambda b, g, i: (b, g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * h * t * t),
+    )(qkv, qkv, qkv)
+    return out

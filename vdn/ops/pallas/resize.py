@@ -1,0 +1,134 @@
+"""Pallas TPU kernel for 1-D interpolation along the middle axis of [N, R, M].
+
+Round-1 profiling showed XLA lowering the `jnp.take`-based torch-exact
+resize (vdn/ops/resize.py) to serialized `while` loops of row-wise
+dynamic-update-slices — ~22% of the clip window's device time at 518px.
+
+This kernel recasts each separable-resize axis as a dense matmul on rows:
+
+    out[n, o, m] = sum_r W[o, r] * x[n, r, m]
+
+where W is the (mostly-banded, trace-time numpy) interpolation matrix.
+The full [BN, R_in, M] row block rides the Pallas pipeline and is fetched
+from HBM exactly once per image (its block index only changes with n, so
+it is reused across all output tiles); each grid step applies one
+[TILE_OUT, R_in] weight slab on the MXU.  Works for bilinear / bicubic /
+nearest, any tap count, both spatial axes (H: M = W*C, W: M = C), and any
+R_in that fits VMEM — no dynamic slicing, so no Mosaic alignment limits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_TILE_OUT = 128  # output rows per grid step
+
+
+def _dense_weights(idx: np.ndarray, w: np.ndarray, in_size: int,
+                   tile_out: int) -> np.ndarray:
+    """[n_tiles, tile_out, in_size] dense per-tile interpolation slabs."""
+    out_size = idx.shape[0]
+    n_tiles = -(-out_size // tile_out)
+    weights = np.zeros((n_tiles, tile_out, in_size), np.float32)
+    o = np.arange(out_size)
+    for tap in range(idx.shape[1]):
+        np.add.at(weights, (o // tile_out, o % tile_out, idx[:, tap]),
+                  w[:, tap])
+    return weights
+
+
+def _resize_kernel(w_ref, x_ref, o_ref, *, bn: int):
+    w = w_ref[0].astype(x_ref.dtype)  # [TH, R_in]
+    for i in range(bn):
+        o_ref[i] = jax.lax.dot_general(
+            w, x_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+# VMEM budget for the pipelined blocks (double-buffered by Pallas)
+_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _pick_blocks(n: int, r_in: int, m: int, th: int, itemsize: int):
+    """(bn, mc): images per step and M-chunk, sized to the VMEM budget."""
+    def fits(bn, mc):
+        return 2 * (bn * r_in * mc + bn * th * mc
+                    + th * r_in) * itemsize <= _VMEM_BUDGET
+
+    lanes = m // 128
+    mc = 128
+    for d in range(lanes, 0, -1):  # largest divisor chunk <= 4096 that fits
+        if lanes % d == 0 and 128 * d <= 4096 and fits(1, 128 * d):
+            mc = 128 * d
+            break
+    bn = 1
+    while bn * 2 <= 8 and n % (bn * 2) == 0 and fits(bn * 2, mc):
+        bn *= 2
+    return bn, mc
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "plan_key"))
+def _resize_mid_axis_impl(x, weights, out_size: int, plan_key):
+    n, r_in, m = x.shape
+    n_tiles, th, _ = weights.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    bn, mc = _pick_blocks(n, r_in, m, th, itemsize)
+
+    # grid order (n, m-chunks, tiles): the x block index is constant over
+    # the innermost tile axis, so each image chunk is DMA'd once.
+    grid = (n // bn, m // mc, n_tiles)
+    kernel = functools.partial(_resize_kernel, bn=bn)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, th, r_in), lambda i, j, t: (t, 0, 0)),
+            pl.BlockSpec((bn, r_in, mc), lambda i, j, t: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bn, th, mc), lambda i, j, t: (i, t, j)),
+        out_shape=jax.ShapeDtypeStruct((n, out_size, m), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * n_tiles * th * r_in * m,
+            bytes_accessed=(n * r_in * m + n * out_size * m) * itemsize,
+            transcendentals=0),
+    )(weights.astype(x.dtype), x)
+
+
+def resize_mid_axis(x: jnp.ndarray, idx: np.ndarray, w: np.ndarray,
+                    out_size: int) -> jnp.ndarray:
+    """x [N, R_in, M] -> [N, out_size, M] with out[.,o,.] = sum_t
+    w[o,t] * x[., idx[o,t], .]."""
+    weights = _dense_weights(np.asarray(idx), np.asarray(w), x.shape[1],
+                             min(_TILE_OUT, out_size))
+    # plan_key makes the jit cache key reflect the (static) plan contents
+    plan_key = (x.shape[1], out_size, weights.shape[0],
+                hash(weights.tobytes()) & 0xFFFFFFFF)
+    return _resize_mid_axis_impl(x, jnp.asarray(weights), out_size,
+                                 plan_key)
+
+
+def supports(x_shape: Tuple[int, ...], axis: int, idx: np.ndarray,
+             dtype) -> bool:
+    """Whether the Pallas path handles this resize efficiently/at all."""
+    if len(x_shape) < 3 or axis < 1:
+        return False
+    m = int(np.prod(x_shape[axis + 1:], dtype=np.int64))
+    n = int(np.prod(x_shape[:axis], dtype=np.int64))
+    if n == 0 or m < 128 or m % 128 != 0:
+        return False
+    in_size = x_shape[axis]
+    # smallest possible config must fit the VMEM budget
+    itemsize = jnp.dtype(dtype).itemsize
+    return 2 * (in_size * 128 + 8 * 128 + 8 * in_size) * itemsize \
+        <= _VMEM_BUDGET
