@@ -88,3 +88,32 @@ def test_infer_image_stateful_matches():
         assert got_d.shape == ref_d.shape == (70, 70)
         np.testing.assert_allclose(got_d, ref_d, rtol=1e-3, atol=2e-3,
                                    err_msg=f"frame {i}")
+
+
+def test_streaming_chunked_matches_per_frame():
+    """Micro-batched decode (chunk_size>1) must be numerically identical to
+    the per-frame path — the scan replays per-frame cache semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    model = VideoDepthAnything(encoder="vits", features=64,
+                               out_channels=(48, 96, 192, 384),
+                               use_flash=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 56, 56, 3), jnp.float32))
+    frames = _frames(13, 64, 64, seed=5)
+
+    pipe1 = VideoDepthStreamPipeline(model, params, input_size=56)
+    ref_out = [pipe1.infer_video_depth_one(f) for f in frames]
+
+    pipe2 = VideoDepthStreamPipeline(model, params, input_size=56)
+    got = []
+    got += pipe2.infer_video_depth_chunk(list(frames[:5]))   # first + 4
+    got += pipe2.infer_video_depth_chunk(list(frames[5:9]))
+    got += pipe2.infer_video_depth_chunk(list(frames[9:]))
+
+    assert len(got) == len(ref_out)
+    for i, (a, b) in enumerate(zip(got, ref_out)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"frame {i}")
+    assert pipe1.slots == pipe2.slots and pipe1.free == pipe2.free

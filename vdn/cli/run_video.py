@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--max-len", type=int, default=-1)
     parser.add_argument("--streaming", action="store_true",
                         help="bounded-memory per-frame decode")
+    parser.add_argument("--chunk-size", type=int, default=8,
+                        help="frames per streaming dispatch (1 = reference "
+                             "per-frame granularity)")
     parser.add_argument("--grayscale", action="store_true")
     parser.add_argument("--compute-dtype", default="bf16",
                         choices=["fp32", "bf16"])
@@ -51,7 +54,16 @@ def main(argv=None):
 
     if args.streaming:
         pipe = VideoDepthStreamPipeline(model, params, args.input_size)
-        depths = np.stack([pipe.infer_video_depth_one(f) for f in frames])
+        k = max(1, args.chunk_size)
+        pending, out = [], []
+        for start in range(0, len(frames), k):
+            chunk = pipe.infer_video_depth_chunk(
+                list(frames[start:start + k]), fetch=False)
+            # fetch the previous chunk while this one computes
+            out.extend(np.asarray(d) for d in pending)
+            pending = chunk
+        out.extend(np.asarray(d) for d in pending)
+        depths = np.stack(out)
     else:
         depths, fps = infer_video_depth(model, params, frames, fps,
                                         args.input_size)

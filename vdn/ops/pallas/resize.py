@@ -58,7 +58,9 @@ _VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def _pick_blocks(n: int, r_in: int, m: int, th: int, itemsize: int):
-    """(bn, mc): images per step and M-chunk, sized to the VMEM budget."""
+    """(bn, mc): images per step and M-chunk, sized to the VMEM budget.
+    bn need not divide n — the grid ceil-divides and Pallas drops
+    out-of-bounds rows (each n row is independent)."""
     def fits(bn, mc):
         return 2 * (bn * r_in * mc + bn * th * mc
                     + th * r_in) * itemsize <= _VMEM_BUDGET
@@ -70,7 +72,7 @@ def _pick_blocks(n: int, r_in: int, m: int, th: int, itemsize: int):
             mc = 128 * d
             break
     bn = 1
-    while bn * 2 <= 8 and n % (bn * 2) == 0 and fits(bn * 2, mc):
+    while bn * 2 <= 8 and bn * 2 <= n and fits(bn * 2, mc):
         bn *= 2
     return bn, mc
 
@@ -84,7 +86,7 @@ def _resize_mid_axis_impl(x, weights, out_size: int, plan_key):
 
     # grid order (n, m-chunks, tiles): the x block index is constant over
     # the innermost tile axis, so each image chunk is DMA'd once.
-    grid = (n // bn, m // mc, n_tiles)
+    grid = (pl.cdiv(n, bn), m // mc, n_tiles)
     kernel = functools.partial(_resize_kernel, bn=bn)
     return pl.pallas_call(
         kernel,
@@ -116,6 +118,20 @@ def resize_mid_axis(x: jnp.ndarray, idx: np.ndarray, w: np.ndarray,
                 hash(weights.tobytes()) & 0xFFFFFFFF)
     return _resize_mid_axis_impl(x, jnp.asarray(weights), out_size,
                                  plan_key)
+
+
+def select_rows(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """x [N, R, M] x (traced) weights [S, R] -> [N, S, M].
+
+    Row mixing with runtime weights — used for the streaming KV-cache
+    window gather, where XLA lowers both take() and the one-hot einsum to
+    serialized loops (~27 ms/frame at vitl-518; this kernel is
+    bandwidth-bound ~1 ms).  Same kernel as the resize, with the weight
+    slab a runtime input."""
+    n, r, m = x.shape
+    s = weights.shape[0]
+    return _resize_mid_axis_impl(x, weights[None].astype(x.dtype), s,
+                                 ("select_rows", n, r, m, s))
 
 
 def supports(x_shape: Tuple[int, ...], axis: int, idx: np.ndarray,

@@ -34,40 +34,87 @@ CAPACITY = GAP + 2  # max logical entries ever alive (43)
 
 
 class VideoDepthStreamPipeline:
-    def __init__(self, model, params, input_size: int = 518):
+    """Streaming pipeline with micro-batched decode.
+
+    ``chunk_size`` frames are decoded per jitted dispatch: the ViT encoder
+    runs batched over the chunk (where the FLOPs are), then a ``lax.scan``
+    replays the reference's exact per-frame semantics — each frame attends
+    to its own 31-entry cache window and appends its cache entry before the
+    next frame decodes.  Cache-window indices and slot writes are
+    host-precomputed per frame (the eviction policy is deterministic).
+    chunk_size=1 reproduces the reference step-for-step (parity-tested);
+    larger chunks change nothing numerically, only dispatch granularity.
+    """
+
+    def __init__(self, model, params, input_size: int = 518,
+                 chunk_size: int = 1):
         self.model = model
         self.params = params
         self.default_input_size = input_size
+        self.chunk_size = int(chunk_size)
         self.input_size: Optional[int] = None
         self.frame_hw: Optional[Tuple[int, int]] = None
         self.slots: List[int] = []       # logical order -> physical slot
         self.free: List[int] = []
         self.buffers = None              # tuple(8) of [B*N_i, CAP, C_i]
         self.id = -1
+        self._pending: List[np.ndarray] = []
 
-        def first(params, x):
+        def gather_window(buf, onehot):
+            """buf [N, CAP, C] x onehot [31, CAP] -> [N, 31, C].  One-hot
+            row mixing instead of buf[:, sel]: XLA lowers both the take and
+            the batched einsum to serialized while-loops (~27 ms/frame); the
+            Pallas kernel is a bandwidth-bound banded matmul (~1 ms).  Exact:
+            each output row has a single 1.0 term."""
+            if jax.default_backend() == "tpu":
+                from vdn.ops.pallas.resize import select_rows
+                return select_rows(buf, onehot)
+            return jnp.einsum("sw,nwc->nsc", onehot.astype(buf.dtype), buf)
+
+        def first(params, x, out_hw):
             def run(m, x):
                 f = m.forward_features(x)
-                return m.forward_depth(f, x.shape)
+                depth, entries = m.forward_depth(f, x.shape)
+                depth = resize2d(depth[..., None], out_hw, "bilinear",
+                                 align_corners=True)[..., 0]
+                return depth, entries
             return model.apply(params, x, method=run)
 
-        def step(params, x, buffers, sel, slot):
-            """Decode one frame AND write its cache entry — one dispatch
-            per frame (the tunnel's per-call latency dominates at batch 1,
-            so fusing decode+write measurably helps)."""
-            def run(m, x):
-                caches = tuple(buf[:, sel] for buf in buffers)
-                f = m.forward_features(x)
-                return m.forward_depth(f, x.shape, caches=caches)
-            depth, entries = model.apply(params, x, method=run)
-            new_buffers = tuple(
-                jax.lax.dynamic_update_slice(buf, e.astype(buf.dtype),
-                                             (0, slot, 0))
-                for buf, e in zip(buffers, entries))
-            return depth, new_buffers
+        def step_k(params, x, buffers, sels, slots, out_hw):
+            """Decode k frames in ONE dispatch: batched encoder, then a
+            scan that decodes frame-by-frame with exact per-frame cache
+            windows (sels [k, 31]) and slot writes (slots [k])."""
+            k = x.shape[1]
 
-        self._first = jax.jit(first)
-        self._step = jax.jit(step, donate_argnums=(2,))
+            def run(m, x):
+                feats = m.forward_features(x)  # 4 x (tok [(k),N,C], cls)
+                feats_k = jax.tree.map(
+                    lambda a: a.reshape((k, 1) + a.shape[1:]), feats)
+
+                def body(bufs, per_frame):
+                    f_i, sel, slot = per_frame
+                    onehot = jax.nn.one_hot(sel, CAPACITY)
+                    caches = tuple(gather_window(buf, onehot)
+                                   for buf in bufs)
+                    depth, entries = m.forward_depth(
+                        f_i, (1, 1) + x.shape[2:], caches=caches)
+                    bufs = tuple(
+                        jax.lax.dynamic_update_slice(
+                            buf, e.astype(buf.dtype), (0, slot, 0))
+                        for buf, e in zip(bufs, entries))
+                    return bufs, depth[0, 0]
+
+                bufs, depths = jax.lax.scan(
+                    body, buffers, (feats_k, sels, slots))
+                # on-device resize to the source resolution
+                depths = resize2d(depths[..., None], out_hw, "bilinear",
+                                  align_corners=True)[..., 0]
+                return depths, bufs
+            return model.apply(params, x, method=run)
+
+        self._first = jax.jit(first, static_argnums=(2,))
+        self._step_k = jax.jit(step_k, donate_argnums=(2,),
+                               static_argnums=(5,))
 
     def reset(self):
         self.slots, self.free, self.buffers = [], [], None
@@ -75,27 +122,46 @@ class VideoDepthStreamPipeline:
         self.frame_hw = None
         self.id = -1
 
-    def _depth_to_numpy(self, depth) -> np.ndarray:
-        h, w = self.frame_hw
-        out = resize2d(np.asarray(depth)[..., None], (h, w),
-                       "bilinear", align_corners=True)
-        return np.asarray(out)[0, -1, :, :, 0]
+    def _advance(self) -> Tuple[List[int], int]:
+        """Host bookkeeping for one frame: cache window + write slot, then
+        the sliding-window eviction (reference :155-158)."""
+        sel = self.slots[0:2] + self.slots[-(INFER_LEN - 3):]
+        assert len(sel) == INFER_LEN - 1
+        slot = self.free.pop()
+        self.slots.append(slot)
+        if self.id + INFER_LEN > GAP + 1:
+            self.free.append(self.slots.pop(1))
+        return sel, slot
 
     def infer_video_depth_one(self, frame: np.ndarray) -> np.ndarray:
         """frame: RGB HWC (uint8 or float 0-255) -> depth [H, W] fp32."""
-        self.id += 1
+        return self.infer_video_depth_chunk([frame])[0]
+
+    def infer_video_depth_chunk(self, frames,
+                                fetch: bool = True) -> List[np.ndarray]:
+        """Process a chunk of frames with one jitted dispatch (plus one for
+        the stream's very first frame).  Semantics are identical to calling
+        ``infer_video_depth_one`` per frame.
+
+        With ``fetch=False`` the returned depths are device arrays still
+        being computed (jax async dispatch) — convert with np.asarray once
+        the *next* chunk is dispatched to overlap transfer with compute."""
         if self.input_size is None:
-            h, w = frame.shape[:2]
+            h, w = frames[0].shape[:2]
             self.frame_hw = (h, w)
             self.input_size = adjust_input_size_for_ratio(
                 h, w, self.default_input_size)
-        else:
-            assert frame.shape[:2] == self.frame_hw
+        xs = []
+        for f in frames:
+            assert f.shape[:2] == self.frame_hw
+            xs.append(preprocess_frame(f, self.input_size))
 
-        x = preprocess_frame(frame, self.input_size)[None, None]  # [1,1,h,w,3]
-
+        out: List[np.ndarray] = []
+        i = 0
         if self.buffers is None:
-            depth, entries = self._first(self.params, x)
+            self.id += 1
+            depth, entries = self._first(self.params, xs[0][None, None],
+                                         self.frame_hw)
             # replicate the first frame's cache across the initial window
             # (reference video_depth_stream.py:117)
             self.buffers = tuple(
@@ -103,17 +169,24 @@ class VideoDepthStreamPipeline:
                 .at[:, :INFER_LEN].set(e) for e in entries)
             self.slots = list(range(INFER_LEN))
             self.free = list(range(INFER_LEN, CAPACITY))
-        else:
-            sel = self.slots[0:2] + self.slots[-(INFER_LEN - 3):]
-            assert len(sel) == INFER_LEN - 1
-            slot = self.free.pop()
-            depth, self.buffers = self._step(
+            if self.id + INFER_LEN > GAP + 1:
+                self.free.append(self.slots.pop(1))
+            out.append(np.asarray(depth)[0, -1])
+            i = 1
+
+        if i < len(xs):
+            sels, slots_w = [], []
+            for _ in range(i, len(xs)):
+                self.id += 1
+                sel, slot = self._advance()
+                sels.append(sel)
+                slots_w.append(slot)
+            x = np.stack(xs[i:])[None]  # [1, k, h, w, 3]
+            depths, self.buffers = self._step_k(
                 self.params, x, self.buffers,
-                jnp.asarray(sel, jnp.int32), jnp.asarray(slot, jnp.int32))
-            self.slots.append(slot)
-
-        # sliding-window eviction (reference :155-158)
-        if self.id + INFER_LEN > GAP + 1:
-            self.free.append(self.slots.pop(1))
-
-        return self._depth_to_numpy(depth)
+                jnp.asarray(sels, jnp.int32),
+                jnp.asarray(slots_w, jnp.int32), self.frame_hw)
+            if fetch:
+                depths = np.asarray(depths)  # [k, H, W]
+            out.extend(depths[j] for j in range(depths.shape[0]))
+        return out
