@@ -108,41 +108,47 @@ def _build_ref():
         use_mlp_for_obj_ptr_proj=True).eval()
 
 
-def test_video_tracking_matches():
+@pytest.fixture(scope="module")
+def setup():
     torch.manual_seed(0)
     ref = _build_ref()
     params = {"params": convert_torch_state(_reference.state_dict_numpy(ref))}
     HIERA_CONFIGS["tiny_video_test"] = dict(TRUNK_CFG)
     model = Sam2VideoModel(trunk_variant="tiny_video_test", d_model=D,
                            mem_dim=MEM, image_size=128)
-    pred = Sam2VideoPredictor(model, params)
-
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, (3, 128, 128, 3), np.uint8)
-    state = pred.init_state(frames)
-    points = np.array([[40.0, 60.0]], np.float32)
-    labels = np.array([1], np.float32)
+    return ref, model, params, frames
 
-    # ---- reference rollout through track_step ----
+
+def _ref_rollout(ref, images, order, point_inputs_at=None, mask_at=None,
+                 reverse=False):
+    """Reference per-object rollout via _track_step; returns high-res masks
+    per frame index."""
     output_dict = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
-    ref_masks = []
+    ref_masks = {}
     with torch.no_grad():
-        for t in range(3):
-            img = state["images"][t]  # same preprocessing as the predictor
-            img_t = torch.from_numpy(np.moveaxis(img, -1, 0).copy())[None]
+        for t in order:
+            img_t = torch.from_numpy(
+                np.moveaxis(images[t], -1, 0).copy())[None]
             backbone_out = ref.forward_image(img_t)
             _, feats, pos, sizes = ref._prepare_backbone_features(
                 backbone_out)
-            is_cond = t == 0
-            point_inputs = None
-            if is_cond:
+            point_inputs = mask_inputs = None
+            is_cond = False
+            if point_inputs_at and t in point_inputs_at:
+                is_cond = True
+                pts, lbl = point_inputs_at[t]
                 point_inputs = {
-                    "point_coords": torch.from_numpy(points[None]),
+                    "point_coords": torch.from_numpy(pts[None]),
                     "point_labels": torch.from_numpy(
-                        labels[None]).to(torch.int32)}
+                        lbl[None]).to(torch.int32)}
+            if mask_at and t in mask_at:
+                is_cond = True
+                mask_inputs = torch.from_numpy(mask_at[t][None, None])
             current_out, sam_outputs, _, _ = ref._track_step(
-                t, is_cond, feats, pos, sizes, point_inputs, None,
-                output_dict, 3, False, None)
+                t, is_cond, feats, pos, sizes, point_inputs, mask_inputs,
+                output_dict, len(images), reverse, None)
             (_, _, _, low_best, high_best, obj_ptr, obj_logits) = \
                 sam_outputs
             ref._encode_memory_in_output(feats, sizes, point_inputs, True,
@@ -152,24 +158,96 @@ def test_video_tracking_matches():
             bucket = ("cond_frame_outputs" if is_cond
                       else "non_cond_frame_outputs")
             output_dict[bucket][t] = current_out
-            ref_masks.append(high_best.numpy())
+            ref_masks[t] = high_best.numpy()
+    return ref_masks
 
-    # ---- vdn rollout ----
-    got_masks = [None] * 3
+
+def test_video_tracking_matches(setup):
+    ref, model, params, frames = setup
+    pred = Sam2VideoPredictor(model, params)
+    state = pred.init_state(frames)
+    points = np.array([[40.0, 60.0]], np.float32)
+    labels = np.array([1], np.float32)
+
+    ref_masks = _ref_rollout(ref, state["images"], range(3),
+                             point_inputs_at={0: (points, labels)})
+
     mask0 = pred.add_new_points(state, 0, points, labels)
-    got0_high = None  # compare at high-res logits level via stored memory
-    for t, mask in pred.propagate(state):
-        got_masks[t] = mask
+    got_masks = {}
+    for t, masks in pred.propagate(state):
+        got_masks[t] = masks[0]
 
-    # frame 0: binary masks at original res must agree with reference
-    ref0 = ref_masks[0][0, 0] > 0
-    assert (mask0 == ref0).mean() > 0.99
-    # tracked frames: compare binarized high-res masks
+    assert (mask0 == (ref_masks[0][0, 0] > 0)).mean() > 0.99
     for t in (1, 2):
-        ref_bin = ref_masks[t][0, 0] > 0
-        got_bin = got_masks[t]
-        agree = (got_bin == ref_bin).mean()
+        agree = (got_masks[t] == (ref_masks[t][0, 0] > 0)).mean()
         assert agree > 0.99, f"frame {t}: agreement {agree:.4f}"
-    # memory state bookkeeping matches
-    assert set(state["cond_outputs"]) == {0}
-    assert set(state["non_cond_outputs"]) == {1, 2}
+    obj = state["objects"][0]
+    assert set(obj["cond_outputs"]) == {0}
+    assert set(obj["non_cond_outputs"]) == {1, 2}
+
+
+def test_mask_prompt_matches(setup):
+    """add_new_mask -> _use_mask_as_output parity + tracking from a mask."""
+    ref, model, params, frames = setup
+    pred = Sam2VideoPredictor(model, params)
+    state = pred.init_state(frames)
+    mask_in = np.zeros((128, 128), np.float32)
+    mask_in[30:80, 40:100] = 1.0
+
+    ref_masks = _ref_rollout(ref, state["images"], range(3),
+                             mask_at={0: mask_in})
+
+    mask0 = pred.add_new_mask(state, 0, mask_in)
+    got = {}
+    for t, masks in pred.propagate(state):
+        got[t] = masks[0]
+    assert (mask0 == (ref_masks[0][0, 0] > 0)).mean() > 0.99
+    for t in (1, 2):
+        agree = (got[t] == (ref_masks[t][0, 0] > 0)).mean()
+        assert agree > 0.99, f"frame {t}: agreement {agree:.4f}"
+
+
+def test_reverse_tracking_matches(setup):
+    """Prompt the LAST frame, propagate in reverse (reference
+    propagate_in_video reverse=True semantics)."""
+    ref, model, params, frames = setup
+    pred = Sam2VideoPredictor(model, params)
+    state = pred.init_state(frames)
+    points = np.array([[70.0, 50.0]], np.float32)
+    labels = np.array([1], np.float32)
+
+    ref_masks = _ref_rollout(ref, state["images"], [2, 1, 0],
+                             point_inputs_at={2: (points, labels)},
+                             reverse=True)
+
+    pred.add_new_points(state, 2, points, labels)
+    got = {}
+    for t, masks in pred.propagate(state, reverse=True):
+        got[t] = masks[0]
+    assert set(got) == {0, 1, 2}
+    for t in (1, 0):
+        agree = (got[t] == (ref_masks[t][0, 0] > 0)).mean()
+        assert agree > 0.99, f"frame {t}: agreement {agree:.4f}"
+
+
+def test_multi_object_independent(setup):
+    """Two objects tracked in one state must equal each tracked alone
+    (the reference runs per-object batch_size=1 slices)."""
+    _, model, params, frames = setup
+    pA = np.array([[40.0, 60.0]], np.float32)
+    pB = np.array([[90.0, 30.0]], np.float32)
+    lab = np.array([1], np.float32)
+
+    def run(prompts):
+        pred = Sam2VideoPredictor(model, params)
+        state = pred.init_state(frames)
+        for obj_id, pts in prompts.items():
+            pred.add_new_points(state, 0, pts, lab, obj_id=obj_id)
+        return {t: masks for t, masks in pred.propagate(state)}
+
+    both = run({0: pA, 1: pB})
+    only_a = run({0: pA})
+    only_b = run({1: pB})
+    for t in range(3):
+        np.testing.assert_array_equal(both[t][0], only_a[t][0])
+        np.testing.assert_array_equal(both[t][1], only_b[t][1])

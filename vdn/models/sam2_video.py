@@ -125,6 +125,10 @@ class Sam2VideoModel(Sam2ImageModel):
         self.no_obj_embed_spatial = self.param(
             "no_obj_embed_spatial", nn.initializers.normal(0.02),
             (1, self.mem_dim), pd)
+        # 4x4/4 conv shrinking a full-res input mask to the SAM prompt
+        # resolution (reference sam2_base.py:110 self.mask_downsample)
+        self.mask_downsample = Conv2d(1, (4, 4), stride=(4, 4),
+                                      param_dtype=pd)
 
     def __call__(self, x: jnp.ndarray):
         """Full forward touching every submodule (so ``model.init``
@@ -132,6 +136,10 @@ class Sam2VideoModel(Sam2ImageModel):
         feats = self.encode_image_raw(x)
         out = self.predict(self.add_no_mem(feats))
         _, high, _, obj_ptr, obj_logits = out
+        # touch the mask-prompt path so init creates mask_downsample params
+        b, hh, ww, _ = x.shape
+        self.use_mask_as_output(feats, jnp.zeros((b, 1, hh, ww),
+                                                 jnp.float32))
         mem_feat, mem_pos = self.encode_memory(feats, high[:, :1],
                                                obj_logits)
         b, h, w, c = mem_feat.shape
@@ -145,6 +153,38 @@ class Sam2VideoModel(Sam2ImageModel):
         conditioned = self.condition_features(feats, memory, memory_pos,
                                               tokens.shape[0])
         return self.predict(conditioned)
+
+    def use_mask_as_output(self, features: Dict[str, jnp.ndarray],
+                           mask_inputs: jnp.ndarray):
+        """Directly turn a binary input mask into output logits without the
+        SAM decoder (reference sam2_base.py:415-465 _use_mask_as_output);
+        the object pointer still comes from the SAM heads fed the
+        mask-downsampled prompt.
+
+        mask_inputs: [B, 1, S, S] float 0/1.  Returns the predict() tuple
+        (low_res, high_res, ious, obj_ptr, object_score_logits)."""
+        from vdn.ops.resize import resize2d
+
+        out_scale, out_bias = 20.0, -10.0
+        mask = mask_inputs.astype(jnp.float32)
+        high_res = mask * out_scale + out_bias
+        s = high_res.shape[-1]
+        low_res = resize2d(high_res.transpose(0, 2, 3, 1),
+                           (s // 4, s // 4), "bilinear_aa", False
+                           ).transpose(0, 3, 1, 2)
+        ious = jnp.ones((mask.shape[0], 1), jnp.float32)
+        mask_ds = self.mask_downsample(mask.transpose(0, 2, 3, 1))
+        _, _, _, obj_ptr, _ = self.predict(features, mask_input=mask_ds,
+                                           multimask_output=False)
+        is_obj = jnp.any(mask.reshape(mask.shape[0], -1) > 0.0, axis=1)
+        lam = is_obj.astype(jnp.float32)[:, None]
+        object_score_logits = out_scale * lam + out_bias
+        if self.pred_obj_scores:
+            if self.fixed_no_obj_ptr:
+                obj_ptr = lam * obj_ptr
+            obj_ptr = obj_ptr + (1 - lam) * self.no_obj_ptr.astype(
+                obj_ptr.dtype)
+        return low_res, high_res, ious, obj_ptr, object_score_logits
 
     # ---- memory-conditioned features ---------------------------------
     def condition_features(self, features: Dict[str, jnp.ndarray],

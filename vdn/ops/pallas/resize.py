@@ -47,10 +47,14 @@ def _dense_weights(idx: np.ndarray, w: np.ndarray, in_size: int,
 
 def _resize_kernel(w_ref, x_ref, o_ref, *, bn: int):
     w = w_ref[0].astype(x_ref.dtype)  # [TH, R_in]
+    # fp32 inputs need HIGHEST or the MXU rounds through bf16 (~1e-3 err)
+    prec = (jax.lax.Precision.HIGHEST
+            if x_ref.dtype == jnp.float32 else None)
     for i in range(bn):
         o_ref[i] = jax.lax.dot_general(
             w, x_ref[i], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(o_ref.dtype)
 
 
 # VMEM budget for the pipelined blocks (double-buffered by Pallas)

@@ -80,6 +80,30 @@ def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
 def _plan_axis(out_size: int, in_size: int, method: str, align_corners: bool,
                scale: Optional[float]) -> Tuple[np.ndarray, np.ndarray]:
     """Precompute (indices [out, taps] int32, weights [out, taps] f32)."""
+    if method == "bilinear_aa":
+        # torch antialiased bilinear (F.interpolate(..., antialias=True),
+        # aten UpSampleKernel _compute_indices_weights_aa): triangle filter
+        # widened by the downsampling factor, weights normalized per output.
+        # For upsampling the formula degenerates to standard half-pixel
+        # bilinear, so one plan covers both directions.
+        s = in_size / out_size
+        support = s if s > 1.0 else 1.0
+        inv = (1.0 / s) if s > 1.0 else 1.0
+        max_taps = int(np.ceil(support)) * 2 + 1
+        idx = np.zeros((out_size, max_taps), np.int64)
+        w = np.zeros((out_size, max_taps), np.float64)
+        for o in range(out_size):
+            center = s * (o + 0.5)
+            xmin = max(int(center - support + 0.5), 0)
+            xmax = min(int(center + support + 0.5), in_size)
+            for j in range(xmax - xmin):
+                arg = (j + xmin - center + 0.5) * inv
+                w[o, j] = max(0.0, 1.0 - abs(arg))
+                idx[o, j] = xmin + j
+            tot = w[o].sum()
+            if tot > 0:
+                w[o] /= tot
+        return idx.astype(np.int32), w.astype(np.float32)
     if method == "nearest":
         src = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
         idx = np.clip(src.astype(np.int64), 0, in_size - 1)
