@@ -74,6 +74,68 @@ def test_fusion_layer_matches():
     np.testing.assert_allclose(_to_ref(got), ref_out, rtol=1e-4, atol=1e-4)
 
 
+def test_v1_full_parity():
+    """Head-to-toe v1 parity vs the reference VideoDepthEstimationModel.
+
+    The reference pulls the MAE hub Hiera over the network (unavailable
+    offline), so torch.hub.load is stubbed with the SAM2-variant Hiera both
+    sides share (numerics-parity-tested in test_hiera_parity); everything
+    else — normal_vector prep, dual-encoder feature sums, the .view layout
+    scramble (video_depth_model.py:96-97), the sangyu head, the normal
+    reassembly — is the reference's own graph."""
+    import jax
+    import tests.test_hiera_parity  # noqa: F401 (iopath shim)
+    from sam2.modeling.backbones.hieradet import Hiera as RefHiera
+    from models.video_depth_model import (
+        VideoDepthEstimationModel as RefV1)
+    import models.hiera_image_encoder as ref_enc_mod
+
+    from vdn.models.video_depth_v1 import VideoDepthEstimationModel
+    from vdn.nn.hiera import HIERA_CONFIGS
+
+    torch.manual_seed(0)
+
+    class FakeHub(torch.nn.Module):
+        """hub-hiera interface over the SAM2 hieradet trunk."""
+
+        def __init__(self):
+            super().__init__()
+            self.trunk = RefHiera(**HIERA_CONFIGS["hiera_tiny"])
+
+        def forward(self, x, return_intermediates=False):
+            levels = [f.permute(0, 2, 3, 1).contiguous()
+                      for f in self.trunk(x)]
+            return None, levels
+
+    orig_hub_load = torch.hub.load
+    torch.hub.load = lambda *a, **k: FakeHub()
+    try:
+        ref = RefV1(sequence_length=2, attention_feature_levels=[2, 3],
+                    encoder="hiera_tiny_224", use_final_relu=True).eval()
+    finally:
+        torch.hub.load = orig_hub_load
+
+    params = {"params": convert_torch_state(
+        _reference.state_dict_numpy(ref),
+        rename=lambda k: k.replace(".model.trunk.", "."))}
+    model = VideoDepthEstimationModel(
+        sequence_length=2, encoder="hiera_tiny",
+        attention_feature_levels=(2, 3), use_final_relu=True)
+
+    rng = np.random.default_rng(7)
+    depth = rng.random((1, 2, 64, 64)).astype(np.float32)
+    img = rng.random((1, 2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_depth, ref_normal = ref(
+            torch.from_numpy(depth),
+            torch.from_numpy(np.moveaxis(img, -1, 2).copy()))
+    got_depth, got_normal = model.apply(params, depth, img)
+    np.testing.assert_allclose(np.asarray(got_depth), ref_depth.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got_normal), -1, 2),
+                               ref_normal.numpy(), rtol=2e-3, atol=2e-3)
+
+
 def test_v1_model_assembly_smoke():
     """Full v1 assembly: dual Hiera + sangyu head wiring (shapes + finite).
     (The reference's own assembly needs network access for torch-hub Hiera

@@ -5,12 +5,17 @@ Re-design of the reference VideoDepthEstimationModel
 one on [depth, nx, ny], per-level feature sums, the sangyu head decoding to
 (depth, dx, dy), and a normal map rebuilt as [-dx, -dy, 1].
 
-Two deliberate deviations from the reference:
+One deliberate deviation from the reference:
 - the encoder is the SAM2 Hiera variant (see vdn/nn/hiera.py docstring);
   the reference pulls the MAE torch-hub Hiera over the network at runtime
-- the reference reinterprets NHWC encoder features as NCHW via
-  ``.view`` (video_depth_model.py:96-97), scrambling the layout before the
-  head; vdn keeps the layout consistent (NHWC end to end)
+  (unavailable offline; same channel pyramid, head-to-toe parity is tested
+  with both sides driving the shared Hiera — tests/test_video_heads_parity)
+
+The reference reinterprets NHWC encoder features as NCHW via ``.view``
+(video_depth_model.py:96-97), scrambling the layout before the head.  Its
+checkpoints are trained WITH that relabeling, so ``scrambled_layout=True``
+(default) replicates it bit-for-bit for checkpoint compatibility;
+``scrambled_layout=False`` gives the fixed, consistent-NHWC wiring.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ class VideoDepthEstimationModel(nn.Module):
     use_final_relu: bool = False
     use_depth_feature: bool = True
     use_rgb_feature: bool = True
+    scrambled_layout: bool = True
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -71,7 +77,15 @@ class VideoDepthEstimationModel(nn.Module):
             levels = [d + r for d, r in zip(*feats)]
         else:
             levels = feats[0]
-        levels = [f.reshape(b, s, *f.shape[1:]) for f in levels]
+        if self.scrambled_layout:
+            # replicate the reference's .view(B, S, D, H, W) of NHWC memory
+            # (a pure reinterpretation, not a transpose), then relabel to
+            # the NHWC convention our head expects
+            levels = [
+                f.reshape(b, s, f.shape[-1], f.shape[1], f.shape[2])
+                .transpose(0, 1, 3, 4, 2) for f in levels]
+        else:
+            levels = [f.reshape(b, s, *f.shape[1:]) for f in levels]
 
         out = self.head(levels)  # [B, S, h', w', 3]
         if out.shape[2:4] != (h, w):
