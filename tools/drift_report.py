@@ -1,0 +1,79 @@
+"""bf16-vs-fp32 end-to-end drift at vitl/518 (32-frame clip forward).
+
+Real released weights are unreachable from this environment (zero egress),
+so this bounds the bf16 numerics against the fp32 forward on the SAME
+(random-init, correctly-scaled) parameters and a structured input: the
+kind of drift weight-converted checkpoints would see.  Reports relative
+depth error and the delta1-style agreement between the two outputs after
+least-squares scale/shift alignment (the eval protocol's alignment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def structured_frames(n, size, seed=0):
+    """Smooth gradients + boxes + noise — image-like statistics."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    frames = []
+    for t in range(n):
+        img = np.stack([yy * 0.5 + 0.2, xx * 0.5 + 0.2,
+                        (yy + xx) / 4 + 0.3], -1)
+        for _ in range(6):
+            y0, x0 = rng.integers(0, size - 80, 2)
+            hb, wb = rng.integers(40, 80, 2)
+            img[y0:y0 + hb, x0:x0 + wb] += rng.normal(0, 0.2, 3)
+        img += rng.normal(0, 0.02, img.shape)
+        # slow camera pan
+        img = np.roll(img, shift=2 * t, axis=1)
+        frames.append(np.clip(img, 0, 1))
+    return np.stack(frames).astype(np.float32)
+
+
+def main():
+    from vdn.models.video_depth_anything import build_video_depth_anything
+
+    x = jnp.asarray(structured_frames(32, 518)[None])  # [1,32,518,518,3]
+    outs = {}
+    for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+        model = build_video_depth_anything("vitl", compute_dtype=dtype)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 56, 56, 3),
+                                             jnp.float32))
+        outs[name] = np.asarray(jax.jit(model.apply)(params, x),
+                                np.float64)
+
+    a, b = outs["fp32"].reshape(-1), outs["bf16"].reshape(-1)
+    eps = 1e-6
+    rel = np.abs(a - b) / np.maximum(np.abs(a), eps)
+    # lstsq scale/shift alignment of bf16 onto fp32 (eval protocol), then
+    # delta1: fraction with max(a/b, b/a) < 1.25 on positive pixels
+    A = np.stack([b, np.ones_like(b)], 1)
+    s, t = np.linalg.lstsq(A, a, rcond=None)[0]
+    b_al = s * b + t
+    pos = (a > np.percentile(a, 5))
+    ratio = np.maximum(a[pos] / np.maximum(b_al[pos], eps),
+                       b_al[pos] / np.maximum(a[pos], eps))
+    report = {
+        "mean_rel_err": float(rel.mean()),
+        "p99_rel_err": float(np.percentile(rel, 99)),
+        "max_rel_err": float(rel.max()),
+        "delta1_bf16_vs_fp32": float((ratio < 1.25).mean()),
+        "absrel_bf16_vs_fp32": float(
+            (np.abs(a[pos] - b_al[pos]) / a[pos]).mean()),
+    }
+    print("DRIFT " + json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
