@@ -65,3 +65,37 @@ def test_run_video_cli_streaming(tmp_path):
     depths = np.load(outdir / "in_depths.npy")
     assert depths.shape == (4, 64, 64)
     assert (outdir / "in_vis.mp4").exists()
+
+
+def test_app_demo_roundtrip():
+    """Web demo serves an image -> depth round trip (reference app.py)."""
+    import base64
+    import json
+    import urllib.request
+
+    import cv2
+
+    from vdn.cli.app import build_pipeline, serve
+
+    pipe = build_pipeline("vits", checkpoint=None, input_size=56)
+    server = serve(pipe, port=0, background=True)
+    try:
+        port = server.server_address[1]
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=60).read()
+        assert b"Compute Depth" in page
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+        ok, buf = cv2.imencode(".png", img)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=buf.tobytes(),
+            method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        for key in ("input", "colored", "gray", "raw16"):
+            png = base64.b64decode(out[key])
+            arr = cv2.imdecode(np.frombuffer(png, np.uint8),
+                               cv2.IMREAD_UNCHANGED)
+            assert arr is not None and arr.shape[:2] == (60, 80), key
+    finally:
+        server.shutdown()

@@ -66,9 +66,10 @@ class DepthAnythingV2(nn.Module):
     def encode_memory(self, mem_feat: jnp.ndarray, depth: jnp.ndarray):
         """(feature [B,HW,C], depth [B,H,W]) -> (mem_feature, mem_pos),
         the new memory-bank entry (reference memory_block.py:83-90)."""
-        hw = mem_feat.shape[1]
-        g = int(hw ** 0.5)
-        return self.memory_block.encode(mem_feat, depth[..., None], (g, g))
+        # grid from the depth resolution (robust to non-square inputs)
+        gh, gw = depth.shape[1] // 14, depth.shape[2] // 14
+        return self.memory_block.encode(mem_feat, depth[..., None],
+                                        (gh, gw))
 
 
 def build_depth_anything_v2(encoder: str = "vitl", **kw) -> DepthAnythingV2:
