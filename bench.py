@@ -10,6 +10,7 @@ numbers — see BASELINE.md); vs_baseline = our_fps / 9.1.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -21,6 +22,14 @@ SIZE = 518
 
 
 def main():
+    if "--profile" in sys.argv:
+        # capture a jax.profiler trace alongside the timing (analyzed with
+        # tools/parse_trace.py); see tools/profile_clip.py for the full
+        # op-level workflow
+        import subprocess
+        subprocess.run([sys.executable, "tools/profile_clip.py", "--trace"],
+                       check=True)
+        return
     from vdn.models.video_depth_anything import build_video_depth_anything
 
     model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16)

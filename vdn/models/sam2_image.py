@@ -123,8 +123,14 @@ class Sam2ImageModel(nn.Module):
                 point_labels: Optional[jnp.ndarray] = None,
                 boxes: Optional[jnp.ndarray] = None,
                 mask_input: Optional[jnp.ndarray] = None,
-                multimask_output: bool = True):
+                multimask_output: bool = True,
+                apply_obj_gating: bool = True):
         """Mirrors reference _forward_sam_heads (sam2_base.py:256-408).
+
+        ``apply_obj_gating=False`` reproduces the reference IMAGE predictor
+        instead, which calls the decoder directly and never replaces masks
+        with NO_OBJ_SCORE (sam2_image_predictor.py:430-466) — the video
+        tracking path keeps the gating.
 
         Returns (low_res_multimasks [B,M,S/4,S/4], high_res_multimasks
         [B,M,S,S], ious [B,M], obj_ptr [B,C], object_score_logits [B,1])."""
@@ -141,8 +147,8 @@ class Sam2ImageModel(nn.Module):
             backbone, image_pe, sparse, dense, multimask_output,
             high_res_features=(features["high_res_0"],
                                features["high_res_1"]))
-        if self.pred_obj_scores:
-            is_obj = obj_logits > 0
+        is_obj = obj_logits > 0
+        if self.pred_obj_scores and apply_obj_gating:
             low_res = jnp.where(is_obj[:, None, None], low_res,
                                 NO_OBJ_SCORE)
         low_res = low_res.astype(jnp.float32)
@@ -183,7 +189,8 @@ class Sam2ImagePredictor:
         self._predict = jax.jit(
             lambda p, f, pc, pl, mm: model.apply(
                 p, f, point_coords=pc, point_labels=pl,
-                multimask_output=mm, method=model.predict),
+                multimask_output=mm, apply_obj_gating=False,
+                method=model.predict),
             static_argnums=(4,))
 
     def set_image(self, image_rgb: np.ndarray):
@@ -197,11 +204,13 @@ class Sam2ImagePredictor:
         self._features = self._encode(self.params, img[None])
 
     def predict(self, point_coords=None, point_labels=None,
-                box=None, multimask_output: bool = True):
+                box=None, multimask_output: bool = True,
+                return_logits: bool = False):
         """point_coords / box in original-image pixels ->
-        (masks [M, H, W] bool, ious [M], low_res_logits).  A box prompt is
-        encoded as two labeled corner points (labels 2/3), matching the
-        reference predictor's box path."""
+        (masks [M, H, W] bool — or float logits with ``return_logits`` —
+        ious [M], low_res_logits).  A box prompt is encoded as two labeled
+        corner points (labels 2/3), matching the reference predictor's box
+        path."""
         assert self._features is not None, "call set_image first"
         h, w = self._orig_hw
         s = self.model.image_size
@@ -221,5 +230,6 @@ class Sam2ImagePredictor:
         masks = resize2d(np.asarray(high).transpose(0, 2, 3, 1), (h, w),
                          "bilinear", align_corners=False)
         masks = np.asarray(masks)[0].transpose(2, 0, 1)
-        return (masks > self.mask_threshold, np.asarray(ious)[0],
-                np.asarray(low)[0])
+        if not return_logits:
+            masks = masks > self.mask_threshold
+        return masks, np.asarray(ious)[0], np.asarray(low)[0]

@@ -49,38 +49,43 @@ class Sam2AutomaticMaskGenerator:
         self.predictor.set_image(image_rgb)
         points = self.point_grids[0] * np.array([w, h], np.float32)
 
-        all_masks: List[np.ndarray] = []
+        all_logits: List[np.ndarray] = []
         all_ious: List[float] = []
+        all_points: List[np.ndarray] = []
         for (batch,) in batch_iterator(self.points_per_batch, points):
             for pt in batch:
-                masks, ious, _ = self.predictor.predict(
+                logits, ious, _ = self.predictor.predict(
                     point_coords=[pt.tolist()], point_labels=[1],
-                    multimask_output=True)
-                # predictor returns binarized masks; re-predict logits via
-                # low-res? use the binary masks + ious directly
-                for m, iou in zip(masks, ious):
-                    all_masks.append(m)
+                    multimask_output=True, return_logits=True)
+                for m, iou in zip(logits, ious):
+                    all_logits.append(m)
                     all_ious.append(float(iou))
-        if not all_masks:
+                    all_points.append(pt)
+        if not all_logits:
             return []
 
-        masks = np.stack(all_masks)
+        logits = np.stack(all_logits)
         ious = np.asarray(all_ious)
+        pts = np.stack(all_points)
         keep = ious > self.pred_iou_thresh
-        # stability on binary masks degenerates to 1; recompute from areas
+        # stability from the mask LOGITS at threshold +/- offset (reference
+        # automatic_mask_generator.py _process_batch)
         stability = calculate_stability_score(
-            masks.astype(np.float32), 0.5, 0.25)
-        keep &= stability >= min(self.stability_score_thresh, 1.0)
-        masks, ious = masks[keep], ious[keep]
-        if masks.size == 0:
+            logits, self.mask_threshold, self.stability_score_offset)
+        keep &= stability >= self.stability_score_thresh
+        logits, ious, stability, pts = (logits[keep], ious[keep],
+                                        stability[keep], pts[keep])
+        if logits.size == 0:
             return []
+        masks = logits > self.mask_threshold
 
         boxes = batched_mask_to_box(masks)
         kept = nms_boxes(boxes, ious, self.box_nms_thresh)
         masks, ious, boxes = masks[kept], ious[kept], boxes[kept]
+        stability, pts = stability[kept], pts[kept]
 
         records = []
-        for m, iou, box in zip(masks, ious, boxes):
+        for m, iou, box, st, pt in zip(masks, ious, boxes, stability, pts):
             if self.min_mask_region_area > 0:
                 m, _ = remove_small_regions(m, self.min_mask_region_area,
                                             "holes")
@@ -92,8 +97,8 @@ class Sam2AutomaticMaskGenerator:
                 "area": area_from_rle(rle),
                 "bbox": box_xyxy_to_xywh(box).tolist(),
                 "predicted_iou": float(iou),
-                "point_coords": None,
-                "stability_score": 1.0,
+                "point_coords": [pt.tolist()],
+                "stability_score": float(st),
             })
         records.sort(key=lambda r: r["area"], reverse=True)
         return records
