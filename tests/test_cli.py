@@ -99,3 +99,50 @@ def test_app_demo_roundtrip():
             assert arr is not None and arr.shape[:2] == (60, 80), key
     finally:
         server.shutdown()
+
+
+def test_train_cli_with_resume(tmp_path):
+    """Drive the training CLI end-to-end twice: a 1-epoch run that saves an
+    async checkpoint, then --resume continuing to epoch 2."""
+    import cv2
+    import struct
+    import yaml
+
+    root = tmp_path / "sintel"
+    rng = np.random.default_rng(0)
+    for sub in ("rgb", "depth", "depth_anything_v2"):
+        os.makedirs(root / sub / "scene_a", exist_ok=True)
+    for i in range(8):
+        cv2.imwrite(str(root / "rgb" / "scene_a" / f"f_{i:04d}.png"),
+                    rng.integers(0, 255, (40, 56, 3), np.uint8))
+        arr = (rng.random((40, 56)) * 30 + 0.3).astype(np.float32)
+        buf = struct.pack("<f", 202021.25) + struct.pack("<ii", 56, 40)
+        with open(root / "depth" / "scene_a" / f"f_{i:04d}.dpt", "wb") as f:
+            f.write(buf + arr.tobytes())
+        cv2.imwrite(
+            str(root / "depth_anything_v2" / "scene_a" / f"f_{i:04d}.png"),
+            (rng.random((40, 56)) * 60000).astype(np.uint16))
+    cfg = {
+        "dataset_common": {"sequence_length": 4, "sequence_stride": 4,
+                           "output_size": [28, 28],
+                           "use_random_crop": False},
+        "datasets": {"Sintel": {
+            "train_split": 0.5,
+            "data_types": ["rgb", "depth", "depth_anything_v2", "mask"],
+            "params": {"root_dir": str(root)},
+        }},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    from vdn.cli.train import main
+    common = ["--dataset-config", str(cfg_path), "--datasets", "Sintel",
+              "--encoder", "vits", "--model-version", "4",
+              "--batch-size", "1", "--compute-dtype", "fp32",
+              "--val-interval", "99", "--save-interval", "1",
+              "--checkpoint-dir", str(tmp_path / "ckpts"),
+              "--log-dir", str(tmp_path / "logs")]
+    main(common + ["--epochs", "1"])
+    ckdir = tmp_path / "ckpts" / "refine_v4"
+    assert any(ckdir.iterdir()), "no checkpoint written"
+    main(common + ["--epochs", "2", "--resume"])

@@ -104,3 +104,59 @@ def test_v1_trainer_step():
         assert "normal_loss" in ld
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_async_checkpoint_deterministic_resume(tiny_setup, tmp_path):
+    """Interrupt-and-resume must replay the uninterrupted run exactly:
+    the TrainCheckpointer restores params+optimizer+step, and the
+    (seed, epoch)-keyed sampler replays the identical data stream."""
+    from vdn.core.checkpoint import TrainCheckpointer
+    from vdn.data.factory import WeightedSampler
+
+    model, params, batch = tiny_setup
+
+    class _FakeConcat:
+        datasets = [list(range(6)), list(range(3))]
+
+    sampler = WeightedSampler(_FakeConcat(), seed=7)
+    # epoch-keyed sampling is a pure function of (seed, epoch)
+    np.testing.assert_array_equal(sampler.sample(5, epoch=2),
+                                  WeightedSampler(_FakeConcat(),
+                                                  seed=7).sample(5, epoch=2))
+    assert not np.array_equal(sampler.sample(5, epoch=1),
+                              sampler.sample(5, epoch=2))
+
+    def run(n_steps, state, trainer):
+        losses = []
+        for _ in range(n_steps):
+            state, loss_dict = trainer.train_step(state, batch)
+            losses.append(float(loss_dict["total_loss"]))
+        return state, losses
+
+    def fresh(p):
+        return jax.tree.map(lambda a: np.array(a), p)
+
+    trainer = RefineTrainer(model, initial_lr=1e-3, stable_scale=1.0)
+    state = trainer.init_state(fresh(params))
+
+    # uninterrupted: 4 steps
+    ref_state, ref_losses = run(4, state, trainer)
+
+    # interrupted: 2 steps, async save, restore, 2 more
+    ckpt = TrainCheckpointer(str(tmp_path / "ckpt"), max_to_keep=2)
+    state2 = trainer.init_state(fresh(params))
+    state2, first = run(2, state2, trainer)
+    ckpt.save(2, {"state": state2, "epoch": 1})
+    ckpt.wait()
+
+    trainer_b = RefineTrainer(model, initial_lr=1e-3, stable_scale=1.0)
+    template = {"state": trainer_b.init_state(fresh(params)), "epoch": 0}
+    restored = ckpt.restore_latest(template)
+    assert restored is not None and int(restored["epoch"]) == 1
+    state3 = restored["state"]
+    assert int(state3.step) == 2
+    _, resumed = run(2, state3, trainer_b)
+    ckpt.close()
+
+    np.testing.assert_allclose(first + resumed, ref_losses,
+                               rtol=1e-6, atol=1e-7)

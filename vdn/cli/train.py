@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--use-residual", action="store_true", default=True)
     parser.add_argument("--input-normal", action="store_true", default=True)
     parser.add_argument("--checkpoint-dir", default="./checkpoints")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in "
+                        "--checkpoint-dir (params+optimizer+epoch, with a "
+                        "deterministic data-stream restart)")
     parser.add_argument("--log-dir", default="./logs")
     parser.add_argument("--val-interval", type=int, default=1)
     parser.add_argument("--save-interval", type=int, default=1)
@@ -45,7 +49,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from vdn.core.checkpoint import (load_torch_checkpoint, save_pytree)
+    from vdn.core.checkpoint import (TrainCheckpointer,
+                                     load_torch_checkpoint)
     from vdn.core.convert import convert_torch_state
     from vdn.data.factory import (BatchLoader, ConcatDataset,
                                   WeightedSampler, create_datasets)
@@ -95,8 +100,18 @@ def main(argv=None):
 
     logger = MetricWriter(args.log_dir)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
+    ckpt = TrainCheckpointer(os.path.join(
+        args.checkpoint_dir, f"refine_v{args.model_version}"))
+    start_epoch = 0
+    if args.resume:
+        restored = ckpt.restore_latest({"state": state, "epoch": 0})
+        if restored is not None:
+            state = restored["state"]
+            start_epoch = int(restored["epoch"])
+            print(f"resumed from epoch {start_epoch}")
 
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
         sums, count = {}, 0
         for batch in train_loader:
             state, loss_dict = trainer.train_step(state, _to_batch(batch))
@@ -119,10 +134,9 @@ def main(argv=None):
         logger.send_log(step=epoch + 1)
 
         if (epoch + 1) % args.save_interval == 0:
-            save_pytree(os.path.join(
-                args.checkpoint_dir,
-                f"{logger.run_name}_refine_v{args.model_version}"
-                f"_epoch_{epoch + 1}"), state.params)
+            # async: serialization overlaps the next epoch's compute
+            ckpt.save(epoch + 1, {"state": state, "epoch": epoch + 1})
+    ckpt.close()
     logger.finish()
 
 

@@ -99,11 +99,16 @@ class WeightedSampler:
         w = np.asarray(weights)
         self._p = w / w.sum()
         self._n = len(w)
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
-    def sample(self, count: int) -> np.ndarray:
-        return self._rng.choice(self._n, size=count, replace=True,
-                                p=self._p)
+    def sample(self, count: int, epoch: Optional[int] = None) -> np.ndarray:
+        """With ``epoch`` the draw is a pure function of (seed, epoch) —
+        resuming training at an epoch boundary replays the identical data
+        stream (deterministic restart)."""
+        rng = (np.random.default_rng((self._seed, epoch))
+               if epoch is not None else self._rng)
+        return rng.choice(self._n, size=count, replace=True, p=self._p)
 
 
 class BatchLoader:
@@ -120,7 +125,15 @@ class BatchLoader:
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
+        self._epoch: Optional[int] = None
+
+    def set_epoch(self, epoch: int):
+        """Make the next iteration's order a pure function of (seed, epoch)
+        — torch DistributedSampler.set_epoch semantics, required for
+        deterministic checkpoint resume."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -130,10 +143,12 @@ class BatchLoader:
 
     def _epoch_indices(self) -> np.ndarray:
         if self.sampler is not None:
-            return self.sampler.sample(len(self.dataset))
+            return self.sampler.sample(len(self.dataset), self._epoch)
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            rng = (np.random.default_rng((self._seed, self._epoch))
+                   if self._epoch is not None else self._rng)
+            rng.shuffle(idx)
         return idx
 
     @staticmethod
