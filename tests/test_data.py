@@ -92,3 +92,33 @@ def test_factory_and_loader(sintel_root, tmp_path):
     assert b["depth"].shape == (2, 4, 32, 48)
     assert b["mask"].dtype == bool
     assert len(b["rgb_paths"]) == 2
+
+
+def test_prefetch_to_device(sintel_root, tmp_path):
+    import jax
+    import yaml
+    from vdn.data.factory import (BatchLoader, ConcatDataset,
+                                  create_datasets, prefetch_to_device)
+    cfg = {
+        "dataset_common": {"sequence_length": 4, "sequence_stride": 2,
+                           "output_size": [32, 48],
+                           "use_random_crop": False},
+        "datasets": {"Sintel": {
+            "train_split": 0.5,
+            "data_types": ["rgb", "depth", "mask"],
+            "params": {"root_dir": str(sintel_root)},
+        }},
+    }
+    cfg_path = tmp_path / "pf.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    concat = ConcatDataset(create_datasets(["Sintel"], str(cfg_path),
+                                           "train"))
+    loader = BatchLoader(concat, batch_size=2, shuffle=False,
+                         num_workers=2)
+    host = list(loader)
+    dev = list(prefetch_to_device(loader, size=2))
+    assert len(dev) == len(host)
+    for hb, db in zip(host, dev):
+        assert isinstance(db["rgb"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(db["rgb"]), hb["rgb"])
+        assert db["rgb_paths"] == hb["rgb_paths"]  # host passthrough

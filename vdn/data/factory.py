@@ -17,7 +17,7 @@ import yaml
 from vdn.data.datasets import DATASET_REGISTRY
 
 __all__ = ["create_datasets", "ConcatDataset", "WeightedSampler",
-           "BatchLoader", "Subset", "load_config"]
+           "BatchLoader", "Subset", "load_config", "prefetch_to_device"]
 
 
 def load_config(config_path: str) -> Dict[str, Any]:
@@ -174,3 +174,31 @@ class BatchLoader:
                                              for i in c]), chunk))
             for fut in futures:
                 yield fut.result()
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Wrap a batch iterator with an N-deep device prefetch queue
+    (grain/flax-style): jax.device_put is async, so the next batches'
+    host->device transfers overlap the current step's compute.  Non-array
+    leaves (e.g. *_paths lists) pass through on host.
+    """
+    import collections
+    import itertools
+
+    import jax
+
+    def put(batch):
+        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()}
+
+    queue = collections.deque()
+    it = iter(iterator)
+
+    def enqueue(n):
+        for batch in itertools.islice(it, n):
+            queue.append(put(batch))
+
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)
