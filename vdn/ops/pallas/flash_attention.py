@@ -36,9 +36,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # target q rows per grid step; actual block is fitted to T (see _pick_block).
-# Swept on v5e at the vitl window shape (B*H=512, T=1370, D=64):
-# 384 -> 1.49 ms/layer (165 TF/s), 512 -> 1.95, 704 -> 2.10, 1408 -> 1.84.
-DEFAULT_BLOCK_Q = 384
+# In-model traces at the vitl window shape (B*H=512, T=1370, D=64) put
+# 704 and 384 within noise (200 vs 212 ms/window for 24 layers); isolated
+# microbenches disagree with in-model ordering here — trust the trace.
+DEFAULT_BLOCK_Q = 704
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
