@@ -83,3 +83,29 @@ def test_streaming_cached_decode_matches(pair):
     for g, r in zip(got_new, ref_new):
         np.testing.assert_allclose(np.asarray(g), r.numpy(),
                                    rtol=1e-3, atol=5e-4)
+
+
+def test_remat_head_matches_unremat():
+    """remat=True must be numerically identical (forward AND grads) while
+    rematerializing the refinenet tail on backward."""
+    import jax
+    import jax.numpy as jnp
+    from vdn.models.video_depth_anything import VideoDepthAnything
+
+    cfg = dict(encoder="vits", features=32, out_channels=(32, 32, 64, 64),
+               use_flash=False)
+    x = np.random.default_rng(0).standard_normal(
+        (1, 2, 56, 56, 3)).astype(np.float32)
+    m0 = VideoDepthAnything(**cfg, remat=False)
+    m1 = VideoDepthAnything(**cfg, remat=True)
+    params = m0.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def loss(m, p):
+        return (m.apply(p, jnp.asarray(x)) ** 2).sum()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

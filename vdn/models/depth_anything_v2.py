@@ -46,7 +46,8 @@ class DepthAnythingV2(nn.Module):
             self.num_mem_attention_layers, self.param_dtype)
         self.depth_head = DPTHead(
             in_channels=self.pretrained.embed_dim, features=self.features,
-            out_channels=self.out_channels, param_dtype=self.param_dtype)
+            out_channels=self.out_channels, param_dtype=self.param_dtype,
+            remat=self.remat)
 
     def __call__(self, x: jnp.ndarray, state: Optional[Dict] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -37,7 +37,7 @@ class MetricDepthAnythingV2(nn.Module):
         self.depth_head = DPTHead(
             in_channels=self.pretrained.embed_dim, features=self.features,
             out_channels=self.out_channels, param_dtype=self.param_dtype,
-            sigmoid_output=True)
+            sigmoid_output=True, remat=self.remat)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x [B, H, W, 3] -> metric depth [B, H, W] in meters."""

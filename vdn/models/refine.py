@@ -129,7 +129,8 @@ class RefineVideoDepth(nn.Module):
         head = DPTHeadTemporal(
             in_channels=self.pretrained.embed_dim, features=self.features,
             out_channels=self.out_channels, num_frames=self.num_frames,
-            pe=self.pe, param_dtype=pd, name=head_name)
+            pe=self.pe, param_dtype=pd, remat=self.remat,
+            name=head_name)
         if self.version >= 4:
             self.temporal_head = head
             self.scale_head = GlobalScaleHead(1.0, pd)

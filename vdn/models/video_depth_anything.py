@@ -48,7 +48,7 @@ class VideoDepthAnything(nn.Module):
             in_channels=self.pretrained.embed_dim, features=self.features,
             out_channels=self.out_channels, num_frames=self.num_frames,
             pe=self.pe, param_dtype=self.param_dtype,
-            seq_axis=self.seq_axis)
+            seq_axis=self.seq_axis, remat=self.remat)
 
     def forward_features(self, x: jnp.ndarray):
         """x: [B, T, H, W, 3] -> 4 x (tokens [(B*T), N, C], cls)."""

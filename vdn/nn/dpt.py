@@ -72,6 +72,7 @@ class Scratch(nn.Module):
     out_channels: Sequence[int]
     param_dtype: Dtype = jnp.float32
     sigmoid_output: bool = False
+    remat: bool = False
 
     def setup(self):
         f, pd = self.features, self.param_dtype
@@ -83,10 +84,17 @@ class Scratch(nn.Module):
                                 param_dtype=pd)
         self.layer4_rn = Conv2d(f, (3, 3), padding=1, use_bias=False,
                                 param_dtype=pd)
-        self.refinenet1 = FeatureFusionBlock(f, pd)
-        self.refinenet2 = FeatureFusionBlock(f, pd)
-        self.refinenet3 = FeatureFusionBlock(f, pd)
-        self.refinenet4 = FeatureFusionBlock(f, pd)
+        # remat: rematerialize the high-resolution refinenet tail during
+        # backward — its 296^2-grid activations dominate training memory
+        # (the round-1 B=2 OOM); the reference instead micro-batches the
+        # tail at inference (dpt_temporal.py:98-125)
+        # (size is arg 3 counting self; it is a static shape tuple)
+        ffb = nn.remat(FeatureFusionBlock, static_argnums=(3,)) \
+            if self.remat else FeatureFusionBlock
+        self.refinenet1 = ffb(f, pd)
+        self.refinenet2 = ffb(f, pd)
+        self.refinenet3 = ffb(f, pd)
+        self.refinenet4 = ffb(f, pd)
         self.output_conv1 = Conv2d(f // 2, (3, 3), padding=1, param_dtype=pd)
         self.output_conv2_0 = Conv2d(32, (3, 3), padding=1, param_dtype=pd)
         self.output_conv2_2 = Conv2d(1, (1, 1), padding=0, param_dtype=pd)
@@ -98,10 +106,10 @@ class Scratch(nn.Module):
         r2 = self.layer2_rn(l2)
         r3 = self.layer3_rn(l3)
         r4 = self.layer4_rn(l4)
-        p4 = self.refinenet4(r4, size=r3.shape[-3:-1])
-        p3 = self.refinenet3(p4, r3, size=r2.shape[-3:-1])
-        p2 = self.refinenet2(p3, r2, size=r1.shape[-3:-1])
-        p1 = self.refinenet1(p2, r1)
+        p4 = self.refinenet4(r4, None, tuple(r3.shape[-3:-1]))
+        p3 = self.refinenet3(p4, r3, tuple(r2.shape[-3:-1]))
+        p2 = self.refinenet2(p3, r2, tuple(r1.shape[-3:-1]))
+        p1 = self.refinenet1(p2, r1, None)
         return p1
 
     def output_head(self, path_1, out_hw: Tuple[int, int]):
@@ -133,6 +141,7 @@ class DPTHead(nn.Module):
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
     param_dtype: Dtype = jnp.float32
     sigmoid_output: bool = False
+    remat: bool = False
 
     def setup(self):
         pd = self.param_dtype
@@ -148,7 +157,8 @@ class DPTHead(nn.Module):
         # resize_layers_2 is Identity in the reference
         self.resize_layers_3 = Conv2d(oc[3], (3, 3), stride=(2, 2),
                                       padding=1, param_dtype=pd)
-        self.scratch = Scratch(self.features, oc, pd, self.sigmoid_output)
+        self.scratch = Scratch(self.features, oc, pd,
+                               self.sigmoid_output, self.remat)
 
     def project_features(self, out_features, patch_h: int, patch_w: int):
         """tokens [B, ph*pw, C] x4 -> pyramid of NHWC maps."""

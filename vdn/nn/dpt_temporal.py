@@ -67,12 +67,12 @@ class DPTHeadTemporal(DPTHead):
         r3 = self.scratch.layer3_rn(l3)
         r4 = self.scratch.layer4_rn(l4)
 
-        p4 = self.scratch.refinenet4(r4, size=r3.shape[-3:-1])
+        p4 = self.scratch.refinenet4(r4, None, tuple(r3.shape[-3:-1]))
         p4, h2 = self.motion_modules_2(p4, t, sub(2))
-        p3 = self.scratch.refinenet3(p4, r3, size=r2.shape[-3:-1])
+        p3 = self.scratch.refinenet3(p4, r3, tuple(r2.shape[-3:-1]))
         p3, h3 = self.motion_modules_3(p3, t, sub(3))
-        p2 = self.scratch.refinenet2(p3, r2, size=r1.shape[-3:-1])
-        p1 = self.scratch.refinenet1(p2, r1)
+        p2 = self.scratch.refinenet2(p3, r2, tuple(r1.shape[-3:-1]))
+        p1 = self.scratch.refinenet1(p2, r1, None)
 
         depth, _ = self.scratch.output_head(p1, (patch_h * 14, patch_w * 14))
         return depth, tuple(h0 + h1 + h2 + h3)
