@@ -1,0 +1,76 @@
+"""Fused LN->MLP->LayerScale->residual Pallas kernel vs the unfused path.
+
+Runs the kernel in Pallas interpret mode on the CPU mesh (the TPU hot path
+is exercised by bench.py / the drift report).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from vdn.ops.pallas.mlp import (_ln_mlp_pallas, _reference_tail,
+                                fused_ln_mlp_residual)
+
+
+def _args(n=640, c=256, f=1024, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.standard_normal((n, c)), jnp.float32),
+        jnp.asarray(rng.standard_normal(c), jnp.float32),
+        jnp.asarray(rng.standard_normal(c), jnp.float32),
+        jnp.asarray(rng.standard_normal((c, f)) * 0.05, jnp.float32),
+        jnp.asarray(rng.standard_normal(f) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal((f, c)) * 0.05, jnp.float32),
+        jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal(c), jnp.float32),
+    )
+
+
+def test_fused_ln_mlp_forward_matches_reference():
+    args = _args()
+    ref = _reference_tail(*args, eps=1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        out = _ln_mlp_pallas(*args, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_fused_ln_mlp_partial_last_block():
+    # n not a multiple of the 512-row block: out-of-bounds rows must be
+    # dropped on store
+    args = _args(n=700)
+    ref = _reference_tail(*args, eps=1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        out = _ln_mlp_pallas(*args, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_fused_ln_mlp_grads_match_reference():
+    args = _args(n=320, c=128, f=512)
+
+    def f_ref(*a):
+        return (_reference_tail(*a, eps=1e-6) ** 2).sum()
+
+    def f_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_ln_mlp_residual(*a, 1e-6) ** 2).sum()
+
+    idx = tuple(range(8))
+    gr = jax.grad(f_ref, argnums=idx)(*args)
+    gf = jax.grad(f_fused, argnums=idx)(*args)
+    for a, b in zip(gr, gf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_erf_approximation_accuracy():
+    # A&S 7.1.26: 1.5e-7 in exact arithmetic, ~5e-7 after f32 rounding —
+    # far below bf16 resolution (~4e-3)
+    from vdn.ops.pallas.mlp import _erf_f32
+    x = jnp.linspace(-6.0, 6.0, 20001, dtype=jnp.float32)
+    approx = _erf_f32(x)
+    exact = jax.lax.erf(x)
+    assert float(jnp.abs(approx - exact).max()) < 1e-6

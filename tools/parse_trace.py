@@ -24,7 +24,10 @@ def find_xplane(trace_dir: str) -> str:
 def main():
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "profiles/clip"
     path = find_xplane(trace_dir)
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+    except ModuleNotFoundError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
     xspace = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         xspace.ParseFromString(f.read())
@@ -34,10 +37,14 @@ def main():
             continue
         ev_meta = plane.event_metadata
         stats_meta = plane.stat_metadata
-        # XLA op events live on XLA Ops lines; aggregate self-time by HLO
+        # XLA op events live on XLA Ops lines; aggregate self-time by HLO.
+        # Async ops (copy-start/async-start) span until their *-done is
+        # reached, overlapping real compute — bucket them separately.
         per_op = defaultdict(float)
         per_cat = defaultdict(float)
+        counts = defaultdict(int)
         total = 0.0
+        async_total = 0.0
         for line in plane.lines:
             if "XLA Op" not in line.name and "XLA Ops" not in line.name:
                 continue
@@ -52,18 +59,29 @@ def main():
                         if sname == "hlo_category":
                             cat = st.str_value or stats_meta[
                                 st.metadata_id].name
-                per_op[name] += dur
-                per_cat[cat or name.split(".")[0].split("(")[0]] += dur
+                base = name.split(".")[0].split("(")[0].lstrip("%")
+                if base.endswith(("copy-start", "async-start", "copy-done",
+                                  "async-done")) or base.startswith(
+                                      ("copy-start", "async-start",
+                                       "copy-done", "async-done")):
+                    async_total += dur
+                    continue
+                key = name.split(" = ")[0].lstrip("%")
+                per_op[key] += dur
+                counts[key] += 1
+                per_cat[cat or base] += dur
                 total += dur
         if not per_op:
             continue
-        print(f"== plane: {plane.name}  total XLA-op time {total:.2f} ms ==")
+        print(f"== plane: {plane.name}  compute XLA-op time {total:.2f} ms "
+              f"(+ {async_total:.2f} ms async-copy span, overlapped) ==")
         print("-- by category --")
         for k, v in sorted(per_cat.items(), key=lambda kv: -kv[1])[:15]:
             print(f"{v:10.2f} ms  {100*v/total:5.1f}%  {k}")
-        print("-- top ops --")
+        print("-- top ops (aggregated over executions) --")
         for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
-            print(f"{v:10.2f} ms  {100*v/total:5.1f}%  {k[:110]}")
+            print(f"{v:10.2f} ms  {100*v/total:5.1f}%  x{counts[k]:<4d} "
+                  f"{k[:100]}")
 
 
 if __name__ == "__main__":

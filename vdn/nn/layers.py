@@ -87,12 +87,14 @@ class LayerNorm(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,),
                            self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (dim,),
                           self.param_dtype)
+        if params_only:  # expose raw params to fused Pallas callers
+            return scale, bias
         xf = x.astype(jnp.float32)
         mean = xf.mean(-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), -1, keepdims=True)
@@ -132,13 +134,16 @@ class Linear(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype) \
+            if self.use_bias else None
+        if params_only:  # expose raw params to fused Pallas callers
+            return kernel, bias
         y = jnp.matmul(x, kernel.astype(x.dtype))
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), self.param_dtype)
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
@@ -151,13 +156,19 @@ class Mlp(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = Linear(self.hidden_features, self.use_bias,
-                   self.param_dtype, name="fc1")(x)
+    def __call__(self, x, *, params_only: bool = False):
+        fc1 = Linear(self.hidden_features, self.use_bias,
+                     self.param_dtype, name="fc1")
+        fc2 = Linear(self.out_features, self.use_bias,
+                     self.param_dtype, name="fc2")
+        if params_only:  # expose raw params to fused Pallas callers
+            w1b1 = fc1(x, params_only=True)
+            hidden = jnp.zeros(x.shape[:-1] + (self.hidden_features,),
+                               x.dtype)
+            return w1b1, fc2(hidden, params_only=True)
+        x = fc1(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = Linear(self.out_features, self.use_bias,
-                   self.param_dtype, name="fc2")(x)
-        return x
+        return fc2(x)
 
 
 class SwiGLUFFN(nn.Module):

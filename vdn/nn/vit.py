@@ -64,9 +64,11 @@ class LayerScale(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,),
                            self.param_dtype)
+        if params_only:  # expose raw params to fused Pallas callers
+            return gamma
         return x * gamma.astype(x.dtype)
 
 
@@ -105,21 +107,37 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from vdn.ops.pallas.mlp import fused_ln_mlp_residual, \
+            fused_mlp_enabled
+
         c = x.shape[-1]
         y = LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.param_dtype, self.use_flash,
                       name="attn")(y)
         x = x + LayerScale(c, self.param_dtype, name="ls1")(y)
-        y = LayerNorm(param_dtype=self.param_dtype, name="norm2")(x)
+        norm2 = LayerNorm(param_dtype=self.param_dtype, name="norm2")
+        ls2 = LayerScale(c, self.param_dtype, name="ls2")
         if self.ffn == "mlp":
-            y = Mlp(int(c * self.mlp_ratio), c, param_dtype=self.param_dtype,
-                    name="mlp")(y)
+            mlp = Mlp(int(c * self.mlp_ratio), c,
+                      param_dtype=self.param_dtype, name="mlp")
+            rows = x.shape[0] * x.shape[1]
+            if fused_mlp_enabled(rows):
+                # one Pallas pass for LN2 -> fc1 -> GELU -> fc2 -> ls2 ->
+                # residual: under plain XLA the fc2 matmul fusion re-evals
+                # the exact-GELU producer per output tile (see
+                # vdn/ops/pallas/mlp.py)
+                ln_s, ln_b = norm2(x, params_only=True)
+                (w1, b1), (w2, b2) = mlp(x, params_only=True)
+                gamma = ls2(x, params_only=True)
+                return fused_ln_mlp_residual(x, ln_s, ln_b, w1, b1, w2, b2,
+                                             gamma, 1e-6)
+            y = mlp(norm2(x))
         else:  # swiglufused: hidden = multiple-of-8 round of 2/3 * 4d
             hidden = int(c * self.mlp_ratio) * 2 // 3
             hidden = (hidden + 7) // 8 * 8
             y = SwiGLUFFN(hidden, c, param_dtype=self.param_dtype,
-                          name="mlp")(y)
-        return x + LayerScale(c, self.param_dtype, name="ls2")(y)
+                          name="mlp")(norm2(x))
+        return x + ls2(y)
 
 
 class DinoVisionTransformer(nn.Module):
