@@ -47,7 +47,7 @@ def main():
     # chain iterations through the output so the runtime cannot dedup or
     # overlap identical executions (the axon tunnel was observed returning
     # bogus sub-ms timings for repeated identical dispatches)
-    n_iters = 5
+    n_iters = 10
     start = time.perf_counter()
     for _ in range(n_iters):
         out = fwd(params, x)

@@ -37,6 +37,24 @@ def test_matches_xla_attention(tq, tk, d):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("t,h,d", [(300, 2, 64), (260, 4, 32),
+                                   (290, 16, 64),
+                                   (300, 3, 64), (130, 2, 32)])
+def test_fused_qkv_bthd_matches_xla(t, h, d):
+    # the zero-staging column-block variant used by the ViT encoder hot
+    # path; (2,64)/(4,32)/(16,64) hit the cols kernel (h % (128//d) == 0),
+    # (3,64)/(2,32) exercise the staged fallback
+    rng = np.random.default_rng(2)
+    qkv = rng.standard_normal((2, t, 3, h, d)).astype(np.float32)
+    scale = d ** -0.5
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), scale))
+    got = np.asarray(fa.flash_attention_fused_qkv(jnp.asarray(qkv),
+                                                  block_q=128))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("t,h,d", [(300, 3, 64), (130, 2, 32)])
 def test_qkv_fused_matches_xla(t, h, d):
     rng = np.random.default_rng(1)

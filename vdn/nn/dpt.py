@@ -96,7 +96,12 @@ class Scratch(nn.Module):
         self.refinenet3 = ffb(f, pd)
         self.refinenet4 = ffb(f, pd)
         self.output_conv1 = Conv2d(f // 2, (3, 3), padding=1, param_dtype=pd)
-        self.output_conv2_0 = Conv2d(32, (3, 3), padding=1, param_dtype=pd)
+        # fp32 *accumulation* island: the input feature is already rounded
+        # to the compute dtype, so upcasting it buys nothing — accumulate
+        # and emit fp32 out of a compute-dtype conv instead (4x MXU rate
+        # and no 518^2x128 fp32 convert vs a full-fp32 conv on bf16 TPU)
+        self.output_conv2_0 = Conv2d(32, (3, 3), padding=1, param_dtype=pd,
+                                     accum_dtype=jnp.float32)
         self.output_conv2_2 = Conv2d(1, (1, 1), padding=0, param_dtype=pd)
 
     def fuse(self, layers: Sequence[jnp.ndarray]):
@@ -119,8 +124,9 @@ class Scratch(nn.Module):
         out = self.output_conv1(path_1)
         out = resize2d(out, out_hw, "bilinear", align_corners=True)
         feat = out
-        # fp32 island (reference dpt_temporal.py:108-110)
-        y = self.output_conv2_0(out.astype(jnp.float32))
+        # fp32 island (reference dpt_temporal.py:108-110): compute-dtype
+        # inputs, fp32 accumulation/weights from here to the output
+        y = self.output_conv2_0(out)
         y = jax.nn.relu(y)
         y = self.output_conv2_2(y)
         if self.sigmoid_output:

@@ -20,7 +20,12 @@ Dtype = Any
 
 
 class Conv2d(nn.Module):
-    """NHWC conv with torch-style symmetric integer padding."""
+    """NHWC conv with torch-style symmetric integer padding.
+
+    ``accum_dtype`` sets the accumulator/output dtype independently of the
+    input dtype (e.g. bf16 inputs with fp32 accumulation + fp32 output for
+    the DPT output island — the TPU equivalent of the reference's
+    out-of-autocast fp32 conv, reference dpt_temporal.py:108-110)."""
     features: int
     kernel_size: Tuple[int, int]
     stride: Tuple[int, int] = (1, 1)
@@ -28,6 +33,7 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     param_dtype: Dtype = jnp.float32
+    accum_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +50,8 @@ class Conv2d(nn.Module):
             x, kernel.astype(x.dtype), window_strides=self.stride,
             padding=[(pad[0], pad[0]), (pad[1], pad[1])],
             feature_group_count=self.feature_group_count,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.accum_dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)

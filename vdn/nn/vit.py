@@ -88,12 +88,17 @@ class Attention(nn.Module):
         use_flash = self.use_flash
         if use_flash is None:
             use_flash = flash_enabled(n, n)
-        # NOTE: a fused-qkv kernel variant (flash_attention_qkv) that skips
-        # the [B*H,T,D] staging transposes exists, but its head-batched dots
-        # + in-VMEM swapaxes measured SLOWER in-model (415 vs 200+98 ms per
-        # window traced on v5e) — the explicit-transpose path wins.
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, use_flash=use_flash)
+        if use_flash:
+            # zero-staging path: the kernel block-views q/k/v straight out
+            # of the fused projection and writes [B,T,H,D], so no [B,H,T,D]
+            # relayout copies hit HBM.  (An earlier head-batched variant,
+            # flash_attention_qkv, lost to in-VMEM swapaxes — this one does
+            # one head per grid step with no in-kernel transposes.)
+            from vdn.ops.pallas.flash_attention import flash_attention_fused_qkv
+            out = flash_attention_fused_qkv(qkv)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            out = dot_product_attention(q, k, v, use_flash=False)
         out = out.reshape(b, n, c)
         return Linear(c, param_dtype=self.param_dtype, name="proj")(out)
 

@@ -111,6 +111,86 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
 
 
+def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       heads_per_block: int, d: int):
+    # blocks are 128-wide column slices of the [B, T, 3C] fused qkv tensor
+    # (= heads_per_block heads of width d side by side): q [1, bq, hb*d],
+    # k/v [1, tk, hb*d], o [1, bq, hb*d]
+    q2 = q_ref[0]                                        # [bq, hb*d]
+    k2 = k_ref[0]                                        # [tk, hb*d]
+    v2 = v_ref[0]
+    outs = []
+    for hh in range(heads_per_block):
+        sl = slice(hh * d, (hh + 1) * d)
+        s = jax.lax.dot_general(
+            q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, tk] f32
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, sl],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, d]
+        outs.append(pv / l)
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
+                              block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
+    """Self-attention straight off the fused projection, zero staging.
+
+    qkv [B, T, 3, H, D] -> out [B, T, H, D].  The tensor is viewed as
+    [B, T, 3C] and the q/k/v operands are 128-wide *column block views*
+    (two 64-wide heads per grid step), so neither the three [B,T,H,D]
+    slices nor the [B,H,T,D] relayouts of the `flash_attention` path are
+    ever materialized in HBM (~4 bandwidth-bound copies of ~90 MB per
+    vitl-window layer), and the output lands directly in [B,T,C] where
+    the following out-projection consumes it.  Same full-K softmax math
+    as `_flash_kernel`, one lane-slice dot per head."""
+    b, t, three, h, d = qkv.shape
+    assert three == 3
+    if scale is None:
+        scale = d ** -0.5
+    # pack heads into 128-lane column blocks (TPU block shape constraint)
+    hb = max(1, 128 // d)
+    if h % hb or (d * hb) % 128:
+        # odd head config: fall back to the staged-transpose kernel
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        return flash_attention(q, k, v, scale=scale,
+                               block_q=block_q).reshape(b, t, h, d)
+    c = h * d
+    qkv2 = qkv.reshape(b, t, 3 * c)
+    n_colblocks = h // hb
+    bq = _pick_block(t, block_q)
+    grid = (b, n_colblocks, pl.cdiv(t, bq))
+    w = hb * d
+    flops = 4 * b * h * t * t * d
+    out = pl.pallas_call(
+        functools.partial(_flash_cols_kernel, scale=float(scale),
+                          heads_per_block=hb, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+            pl.BlockSpec((1, t, w),
+                         lambda b, g, i, _n=n_colblocks: (b, 0, _n + g)),
+            pl.BlockSpec((1, t, w),
+                         lambda b, g, i, _n=n_colblocks: (b, 0, 2 * _n + g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(qkv.size + qkv.size // 3) * qkv.dtype.itemsize,
+            transcendentals=b * h * t * t),
+    )(qkv2, qkv2, qkv2)
+    return out.reshape(b, t, h, d)
+
+
 def _flash_qkv_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, scale: float, hb: int):
     # qkv_q [1, bq, 1, hb, d]; qkv_k/v [1, tk, 1, hb, d]; o [1, hb, bq, d]
     # Mosaic requires dot batch dims at position 0: head-major in VMEM

@@ -58,7 +58,7 @@ def _gelu_exact_f32(x):
 
 
 def _ln_mlp_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                   g_ref, o_ref, *, eps: float):
+                   g_ref, o_ref, *, eps: float, f_chunks: int):
     x = x_ref[:]                                     # [bn, C] compute dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=1, keepdims=True)
@@ -67,16 +67,25 @@ def _ln_mlp_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y = y * ls_ref[:].astype(jnp.float32) + lb_ref[:].astype(jnp.float32)
     y = y.astype(x.dtype)
 
-    h = jax.lax.dot_general(
-        y, w1_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [bn, F] fp32
-    # round to compute dtype between stages like the unfused Linear does
-    h = (h.astype(x.dtype) + b1_ref[:].astype(x.dtype)).astype(jnp.float32)
-    h = _gelu_exact_f32(h).astype(x.dtype)
-
-    o = jax.lax.dot_general(
-        h, w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [bn, C] fp32
+    # chunk the hidden dim: chunk j's GELU (VPU) has no dependency on
+    # chunk j+1's fc1 dot (MXU), so Mosaic can overlap the two units —
+    # a monolithic dot1 -> gelu -> dot2 chain serializes them
+    f = w1_ref.shape[1]
+    fc = f // f_chunks
+    o = None
+    for j in range(f_chunks):
+        sl = slice(j * fc, (j + 1) * fc)
+        h = jax.lax.dot_general(
+            y, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [bn, fc] fp32
+        # round to compute dtype between stages like the unfused path
+        h = (h.astype(x.dtype)
+             + b1_ref[:, sl].astype(x.dtype)).astype(jnp.float32)
+        h = _gelu_exact_f32(h).astype(x.dtype)
+        pj = jax.lax.dot_general(
+            h, w2_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [bn, C] fp32
+        o = pj if o is None else o + pj
     o = o.astype(x.dtype) + b2_ref[:].astype(x.dtype)
     o_ref[:] = x + o * g_ref[:].astype(x.dtype)
 
@@ -91,9 +100,10 @@ def _ln_mlp_pallas(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     w1, w2 = w1.astype(dt), w2.astype(dt)
     bn = min(n, _BLOCK_ROWS)
     grid = (pl.cdiv(n, bn),)
+    f_chunks = 4 if f % 4 == 0 else 1
     row = lambda a: a.reshape(1, -1)
     return pl.pallas_call(
-        functools.partial(_ln_mlp_kernel, eps=eps),
+        functools.partial(_ln_mlp_kernel, eps=eps, f_chunks=f_chunks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bn, c), lambda i: (i, 0)),
