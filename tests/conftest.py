@@ -19,6 +19,12 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA CPU lowers some conv shapes (e.g. 7x7/s4 patchify) to a reduced-
+# precision oneDNN fast path under the default precision config (~2e-3
+# relative error vs fp64 — enough to sink parity tolerances).  Parity
+# tests compare exact fp32 numerics, so force full precision; production
+# TPU code keeps the default (bf16 compute is the deliberate policy).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"

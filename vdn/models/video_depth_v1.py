@@ -5,11 +5,12 @@ Re-design of the reference VideoDepthEstimationModel
 one on [depth, nx, ny], per-level feature sums, the sangyu head decoding to
 (depth, dx, dy), and a normal map rebuilt as [-dx, -dy, 1].
 
-One deliberate deviation from the reference:
-- the encoder is the SAM2 Hiera variant (see vdn/nn/hiera.py docstring);
-  the reference pulls the MAE torch-hub Hiera over the network at runtime
-  (unavailable offline; same channel pyramid, head-to-toe parity is tested
-  with both sides driving the shared Hiera — tests/test_video_heads_parity)
+Encoder families: hub-style names ending in ``_224`` (the reference's
+own ``model_name`` values, e.g. ``hiera_base_224``) select the plain
+MAE Hiera (`vdn/nn/hiera_mae.py` — architecture-exact vs the torch-hub
+model the reference loads, so reference v1 checkpoints convert); bare
+names (``hiera_base``) keep the SAM2 hieradet variant used for the
+in-repo head-to-toe parity tests (tests/test_video_heads_parity).
 
 The reference reinterprets NHWC encoder features as NCHW via ``.view``
 (video_depth_model.py:96-97), scrambling the layout before the head.  Its
@@ -46,13 +47,19 @@ class VideoDepthEstimationModel(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.img_encoder = make_hiera(self.encoder, self.param_dtype,
-                                      name="img_encoder")
-        self.depth_encoder = make_hiera(self.encoder, self.param_dtype,
-                                        name="encoder")
-        ch = (96, 192, 384, 768)
-        if self.encoder == "hiera_base_plus":
-            ch = (112, 224, 448, 896)
+        from vdn.nn.hiera import HIERA_CONFIGS
+        from vdn.nn.hiera_mae import HIERA_MAE_CONFIGS, make_hiera_mae
+        if self.encoder in HIERA_MAE_CONFIGS:  # hub-MAE family
+            make = lambda name: make_hiera_mae(  # noqa: E731
+                self.encoder, self.param_dtype, name=name)
+            dim0 = HIERA_MAE_CONFIGS[self.encoder]["embed_dim"]
+        else:  # SAM2 hieradet family
+            make = lambda name: make_hiera(  # noqa: E731
+                self.encoder, self.param_dtype, name=name)
+            dim0 = HIERA_CONFIGS[self.encoder]["embed_dim"]
+        self.img_encoder = make("img_encoder")
+        self.depth_encoder = make("encoder")
+        ch = tuple(dim0 * 2 ** i for i in range(4))
         self.head = VideoDepthHeadSangyu(
             sequence_length=self.sequence_length,
             attention_feature_levels=tuple(self.attention_feature_levels),
@@ -67,12 +74,19 @@ class VideoDepthEstimationModel(nn.Module):
         depth_img = jnp.concatenate([depth[..., None], normals[..., :2]],
                                     axis=-1)
 
+        def run(enc, inp):
+            out = enc(inp)
+            # MAE family returns (pooled, intermediates); the reference
+            # discards the classifier output (hiera_image_encoder.py:58)
+            return out[1] if isinstance(out, tuple) else out
+
         feats = []
         if self.use_depth_feature:
-            feats.append(self.depth_encoder(
-                depth_img.reshape(b * s, h, w, 3)))
+            feats.append(run(self.depth_encoder,
+                             depth_img.reshape(b * s, h, w, 3)))
         if self.use_rgb_feature:
-            feats.append(self.img_encoder(img.reshape(b * s, h, w, 3)))
+            feats.append(run(self.img_encoder,
+                             img.reshape(b * s, h, w, 3)))
         if len(feats) == 2:
             levels = [d + r for d, r in zip(*feats)]
         else:

@@ -8,7 +8,7 @@ its own backbones, with weights loaded from converted checkpoints.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -45,18 +45,33 @@ class DINOv2Encoder(nn.Module):
 
 class HieraImageEncoder(nn.Module):
     """4-level feature pyramid, [B, H_i, W_i, C_i] per level
-    (reference models/hiera_image_encoder.py:44-61; vdn substitutes the
-    SAM2-variant Hiera — see vdn/nn/hiera.py docstring)."""
+    (reference models/hiera_image_encoder.py:44-61).
+
+    Hub-style ``model_name``s (``hiera_base_224`` — the reference's own
+    mapping keys) use the plain MAE Hiera (`vdn/nn/hiera_mae.py`,
+    architecture-exact vs the torch-hub model, checkpoint-convertible);
+    ``sam2_`` prefixed names select the SAM2 hieradet variant."""
     model_name: str = "hiera_base_224"
     param_dtype: Dtype = jnp.float32
 
     def setup(self):
-        variant = self.model_name.replace("_224", "")
-        self.model = make_hiera(variant, self.param_dtype)
+        from vdn.nn.hiera_mae import HIERA_MAE_CONFIGS, make_hiera_mae
+        if self.model_name in HIERA_MAE_CONFIGS:
+            self.model = make_hiera_mae(self.model_name, self.param_dtype)
+            self._mae = True
+        else:
+            self.model = make_hiera(
+                self.model_name.removeprefix("sam2_").replace("_224", ""),
+                self.param_dtype)
+            self._mae = False
 
     def __call__(self, x: jnp.ndarray
-                 ) -> Tuple[None, List[jnp.ndarray]]:
-        """Returns (None, intermediates) mirroring the reference's
-        (classifier_logits, intermediates) contract — vdn has no
-        classification head."""
-        return None, self.model(x)
+                 ) -> Tuple[Optional[jnp.ndarray], List[jnp.ndarray]]:
+        """Returns (trunk_output, intermediates) mirroring the reference's
+        (classifier_logits, intermediates) contract — the reference
+        discards the first element; the MAE family returns its pooled
+        trunk-norm output there (no 1000-way classifier head)."""
+        out = self.model(x)
+        if self._mae:
+            return out
+        return None, out
