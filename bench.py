@@ -5,6 +5,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline denominator: the Video-Depth-Anything paper reports ~9.1 frames/sec
 for VDA-L at 518px on a single A100 (the reference repo itself publishes no
 numbers — see BASELINE.md); vs_baseline = our_fps / 9.1.
+
+Timing methodology (tunnel-proof, two-point scan slope):
+
+The axon TPU tunnel in this rig makes naive host-side timing WORTHLESS in
+both directions: ``block_until_ready`` returns without waiting (8 chained
+8k^3 matmuls "complete" in 0.2 ms), repeated dispatches of the same
+executable are deduplicated even when inputs differ only slightly, and
+device->host fetches crawl at ~20 MB/s.  Round-1/2 numbers measured with a
+host-side chained loop (60.6, 113.4 fps) were inflated by runtime overlap:
+the jax.profiler module wall shows one 32-frame vitl window takes 459 ms
+on the chip — a hard physical bound the loop numbers violate.
+
+This bench instead runs K windows inside ONE jitted ``lax.scan``, chaining
+each window's input on the previous window's output *inside the
+executable* (the runtime cannot dedup or reorder steps it cannot see), and
+times K=K_SMALL vs K=K_LARGE with a scalar-output fetch forcing
+completion.  The slope (T_large - T_small) / (K_LARGE - K_SMALL) cancels
+the constant dispatch + fetch + tunnel overhead exactly; the result
+matches the profiler's per-window module wall.
 """
 
 from __future__ import annotations
@@ -19,6 +38,42 @@ import jax.numpy as jnp
 A100_BASELINE_FPS = 9.1
 FRAMES = 32
 SIZE = 518
+K_SMALL, K_LARGE = 2, 8
+REPS = 3
+
+
+def _make_runner(model):
+    """One executable running k chained windows (k is a TRACED trip count,
+    so both measurement points share one compile); returns a scalar."""
+
+    @jax.jit
+    def run(params, x, k):
+        def cond(c):
+            return c[0] < k
+
+        def body(c):
+            i, x, acc = c
+            out = model.apply(params, x)
+            # fold the output back into every input pixel so step i+1
+            # depends on ALL of step i's work (no dead-code elimination,
+            # no intra-executable reordering)
+            bump = jnp.tanh(jnp.mean(out)) * 1e-3
+            return i + 1, x * (1.0 + bump), acc + jnp.mean(out)
+
+        _, _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, jnp.float32(0.0)))
+        return acc
+
+    return run
+
+
+def _timed(run, params, x, k: int) -> float:
+    best = float("inf")
+    for _ in range(REPS):
+        start = time.perf_counter()
+        float(run(params, x, jnp.int32(k)))  # scalar fetch = the sync point
+        best = min(best, time.perf_counter() - start)
+    return best
 
 
 def main():
@@ -40,23 +95,14 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (1, FRAMES, SIZE, SIZE, 3), jnp.float32)
 
-    fwd = jax.jit(model.apply)
-    # warmup/compile
-    fwd(params, x).block_until_ready()
+    run = _make_runner(model)
+    float(run(params, x, jnp.int32(1)))  # warmup/compile
 
-    # chain iterations through the output so the runtime cannot dedup or
-    # overlap identical executions (the axon tunnel was observed returning
-    # bogus sub-ms timings for repeated identical dispatches)
-    n_iters = 10
-    start = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(params, x)
-        x = jax.lax.dynamic_update_slice(
-            x, out[:, :1, :1, :1, None] * 1e-6, (0, 0, 0, 0, 0))
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
+    t_small = _timed(run, params, x, K_SMALL)
+    t_large = _timed(run, params, x, K_LARGE)
+    per_window = (t_large - t_small) / (K_LARGE - K_SMALL)
 
-    fps = FRAMES * n_iters / elapsed
+    fps = FRAMES / per_window
     print(json.dumps({
         "metric": "video_depth_vitl_518_frames_per_sec_per_chip",
         "value": round(fps, 3),

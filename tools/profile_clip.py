@@ -1,12 +1,14 @@
 """Profile the flagship clip forward on the real TPU chip.
 
-Splits wall time into encoder vs temporal-DPT head, prints an XLA
+Splits per-window time into encoder vs temporal-DPT head, prints an XLA
 cost-analysis FLOP estimate and derived MFU, and (with --trace) captures a
 jax.profiler trace to profiles/ for op-level breakdown.
 
-Timing methodology per repo memory: chain every iteration's input through
-the previous output so the axon runtime cannot dedup identical dispatches.
-"""
+Timing methodology: the axon tunnel breaks host-side loop timing
+(block_until_ready returns early; repeated dispatches dedup/overlap — see
+bench.py docstring), so each quantity is measured as a two-point slope of
+K iterations chained inside ONE lax.while_loop executable.  Cross-check
+any number here against the trace's XLA-module wall (parse_trace.py)."""
 
 from __future__ import annotations
 
@@ -24,15 +26,36 @@ import jax.numpy as jnp
 V5E_BF16_PEAK = 197e12  # v5e peak bf16 FLOP/s
 
 
-def timed(fn, x, n=5, chain=None):
-    out = fn(x)
-    jax.block_until_ready(out)
-    start = time.perf_counter()
-    for _ in range(n):
-        out = fn(x)
-        x = chain(x, out) if chain is not None else x
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / n
+def slope_timed(apply_fn, params, x, k_small=2, k_large=6, reps=3):
+    """Per-iteration seconds via an in-executable chained while_loop,
+    two-point slope (cancels dispatch/fetch overhead)."""
+
+    @jax.jit
+    def run(params, x, k):
+        def body(c):
+            i, x, acc = c
+            out = apply_fn(params, x)
+            # consume EVERY output leaf — depending on only one would let
+            # XLA dead-code-eliminate the rest of the computation
+            bump = jnp.tanh(sum(
+                jnp.mean(leaf) for leaf in jax.tree.leaves(out))) * 1e-3
+            return i + 1, x * (1.0 + bump), acc + bump
+
+        _, _, acc = jax.lax.while_loop(
+            lambda c: c[0] < k, body, (jnp.int32(0), x, jnp.float32(0.0)))
+        return acc
+
+    float(run(params, x, jnp.int32(1)))  # compile + warm
+
+    def best(k):
+        t = float("inf")
+        for _ in range(reps):
+            start = time.perf_counter()
+            float(run(params, x, jnp.int32(k)))
+            t = min(t, time.perf_counter() - start)
+        return t
+
+    return (best(k_large) - best(k_small)) / (k_large - k_small)
 
 
 def main():
@@ -54,22 +77,17 @@ def main():
                           (1, args.frames, args.size, args.size, 3),
                           jnp.float32)
 
-    def chain(x, out):
-        leaf = jax.tree.leaves(out)[0]
-        bump = leaf.reshape(-1)[0].astype(x.dtype) * 1e-6
-        return x.at[0, 0, 0, 0, 0].add(bump)
-
     fwd = jax.jit(model.apply)
-    enc = jax.jit(lambda p, x: model.apply(
-        p, x, method=model.forward_features))
 
     lowered = fwd.lower(params, x)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     flops = cost.get("flops", float("nan")) if cost else float("nan")
 
-    t_full = timed(lambda x: fwd(params, x), x, chain=chain)
-    t_enc = timed(lambda x: enc(params, x), x, chain=chain)
+    t_full = slope_timed(model.apply, params, x)
+    t_enc = slope_timed(
+        lambda p, x: model.apply(p, x, method=model.forward_features),
+        params, x)
 
     fps = args.frames / t_full
     report = {
@@ -89,9 +107,13 @@ def main():
             os.path.abspath(__file__))), "profiles", "clip")
         with jax.profiler.trace(trace_dir):
             out = fwd(params, x)
-            x = chain(x, out)
+            # force real completion before a second distinct dispatch
+            # (block_until_ready is unreliable over the tunnel; a tiny
+            # fetch is the only true sync)
+            x = x.at[0, 0, 0, 0, 0].add(
+                float(jnp.mean(out[0, 0])) * 1e-6)
             out = fwd(params, x)
-            jax.block_until_ready(out)
+            float(jnp.mean(out[0, 0]))
         print("TRACE_DIR " + trace_dir)
 
 

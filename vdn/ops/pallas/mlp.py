@@ -33,8 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows of x per grid step; 512 rows x 4096 f32 hidden = 8 MB VMEM scratch
-_BLOCK_ROWS = 512
+# rows of x per grid step; 512 rows x 4096 f32 hidden = 8 MB VMEM scratch.
+# Env knobs (VDN_MLP_BLOCK_ROWS / VDN_MLP_F_CHUNKS) exist for in-model
+# tuning sweeps — isolated microbenches disorder vs in-model traces here.
+import os as _os
+_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BLOCK_ROWS", "512"))
+_F_CHUNKS = int(_os.environ.get("VDN_MLP_F_CHUNKS", "4"))
 
 
 def _erf_f32(x):
@@ -100,7 +104,7 @@ def _ln_mlp_pallas(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     w1, w2 = w1.astype(dt), w2.astype(dt)
     bn = min(n, _BLOCK_ROWS)
     grid = (pl.cdiv(n, bn),)
-    f_chunks = 4 if f % 4 == 0 else 1
+    f_chunks = _F_CHUNKS if f % _F_CHUNKS == 0 else 1
     row = lambda a: a.reshape(1, -1)
     return pl.pallas_call(
         functools.partial(_ln_mlp_kernel, eps=eps, f_chunks=f_chunks),
