@@ -36,10 +36,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # target q rows per grid step; actual block is fitted to T (see _pick_block).
-# In-model traces at the vitl window shape (B*H=512, T=1370, D=64) put
-# 704 and 384 within noise (200 vs 212 ms/window for 24 layers); isolated
-# microbenches disagree with in-model ordering here — trust the trace.
-DEFAULT_BLOCK_Q = 704
+# In-model slope-timed sweeps at the vitl window shape (B*H=512, T=1370,
+# D=64) pick this; VDN_FLASH_BLOCK_Q overrides for tuning sweeps
+# (isolated microbenches disagree with in-model ordering here).
+import os as _os
+DEFAULT_BLOCK_Q = int(_os.environ.get("VDN_FLASH_BLOCK_Q", "704"))
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):

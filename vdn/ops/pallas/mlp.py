@@ -33,11 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows of x per grid step; 512 rows x 4096 f32 hidden = 8 MB VMEM scratch.
-# Env knobs (VDN_MLP_BLOCK_ROWS / VDN_MLP_F_CHUNKS) exist for in-model
-# tuning sweeps — isolated microbenches disorder vs in-model traces here.
+# rows of x per grid step.  256 won the in-model slope-timed sweep at the
+# vitl window shape (72.9 vs 69.7 fps for 512; 128/512/768/1024 all lose
+# — small blocks pipeline the x DMA against the MXU better while W1/W2
+# stay resident).  Env knobs (VDN_MLP_BLOCK_ROWS / VDN_MLP_F_CHUNKS) for
+# tuning sweeps: tools/tune_kernels.sh; tune IN-MODEL only — isolated
+# microbenches disagree with in-model ordering on this rig.
 import os as _os
-_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BLOCK_ROWS", "512"))
+_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BLOCK_ROWS", "256"))
 _F_CHUNKS = int(_os.environ.get("VDN_MLP_F_CHUNKS", "4"))
 
 
@@ -135,7 +138,10 @@ def _ln_mlp_pallas(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
 
 def fused_mlp_enabled(rows: int) -> bool:
     """Use the fused kernel on TPU for large token counts (the encoder
-    hot path); small/CPU cases keep the reference jnp path."""
+    hot path); small/CPU cases keep the reference jnp path.
+    VDN_DISABLE_FUSED_MLP=1 forces the XLA path (for A/B sweeps)."""
+    if _os.environ.get("VDN_DISABLE_FUSED_MLP"):
+        return False
     from vdn.ops.attention import _on_tpu
     return rows >= 2048 and _on_tpu()
 
