@@ -46,7 +46,9 @@ def tiny_setup():
 def test_train_step_decreases_loss_and_freezes_head(tiny_setup):
     model, params, batch = tiny_setup
     trainer = RefineTrainer(model, initial_lr=1e-3, stable_scale=1.0)
-    state = trainer.init_state(params)
+    # train_step donates the state; copy so the module-scoped fixture's
+    # params stay live for later tests
+    state = trainer.init_state(jax.tree.map(lambda a: np.array(a), params))
     frozen_before = jax.tree_util.tree_leaves(
         state.params["params"]["temporal_head"])[0].copy()
     losses = []

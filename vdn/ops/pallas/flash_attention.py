@@ -154,8 +154,12 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
     assert three == 3
     if scale is None:
         scale = d ** -0.5
-    # pack heads into 128-lane column blocks (TPU block shape constraint)
-    hb = max(1, 128 // d)
+    # pack heads into 128-lane-multiple column blocks (TPU block shape
+    # constraint).  More heads per grid step deepens the per-head software
+    # pipeline (head j's VPU softmax overlaps head j+1's MXU dot);
+    # VDN_FLASH_HEADS_PER_BLOCK overrides for sweeps.
+    hb = int(_os.environ.get("VDN_FLASH_HEADS_PER_BLOCK", "0")) \
+        or max(1, 128 // d)
     if h % hb or (d * hb) % 128:
         # odd head config: fall back to the staged-transpose kernel
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
