@@ -32,8 +32,7 @@ def test_matches_xla_attention(tq, tk, d):
     ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
                                     jnp.asarray(v), scale))
     got = np.asarray(fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
-                                        jnp.asarray(v), scale=scale,
-                                        block_q=128))
+                                        jnp.asarray(v), scale, 128))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
@@ -51,7 +50,7 @@ def test_fused_qkv_bthd_matches_xla(t, h, d):
     ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
                                     jnp.asarray(v), scale))
     got = np.asarray(fa.flash_attention_fused_qkv(jnp.asarray(qkv),
-                                                  block_q=128))
+                                                  None, 128))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
@@ -66,3 +65,81 @@ def test_qkv_fused_matches_xla(t, h, d):
     got = np.asarray(fa.flash_attention_qkv(jnp.asarray(qkv), block_q=128))
     got = got.transpose(0, 2, 1, 3)  # kernel returns [B, H, T, D]
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_grads_match_xla():
+    """Training path: the custom_vjp backward (plain-XLA recompute) must
+    produce the XLA path's gradients — round 2 shipped a kernel with NO
+    vjp, which broke jax.grad through any flash-enabled encoder."""
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((1, 192, 2, 32)).astype(np.float32)
+    k = rng.standard_normal((1, 192, 2, 32)).astype(np.float32)
+    v = rng.standard_normal((1, 192, 2, 32)).astype(np.float32)
+    scale = 32 ** -0.5
+    cot = rng.standard_normal(q.shape).astype(np.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                          jnp.asarray(v), scale, 128)
+                       * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * cot)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_qkv_grads_match_xla():
+    rng = np.random.default_rng(3)
+    qkv = rng.standard_normal((1, 160, 3, 2, 64)).astype(np.float32)
+    scale = 64 ** -0.5
+
+    def loss_flash(qkv):
+        return jnp.sum(jnp.square(
+            fa.flash_attention_fused_qkv(qkv, scale, 128)))
+
+    def loss_xla(qkv):
+        return jnp.sum(jnp.square(_xla_attention(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale)))
+
+    got = jax.grad(loss_flash)(jnp.asarray(qkv))
+    want = jax.grad(loss_xla)(jnp.asarray(qkv))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_accum_conv_grad():
+    """The fp32-accum island conv (bf16 in, fp32 out) must differentiate
+    — XLA's built-in conv grad rejects the dtype mix; vdn routes it
+    through a custom_vjp (vdn/nn/layers.py:_conv_nhwc_accum)."""
+    from vdn.nn.layers import Conv2d
+
+    conv = Conv2d(8, (3, 3), padding=1, accum_dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (1, 8, 8, 4)), jnp.bfloat16)
+    params = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        y = conv.apply(params, x)
+        assert y.dtype == jnp.float32
+        return jnp.sum(jnp.square(y))
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(params, x)
+    assert gx.dtype == x.dtype
+    assert all(np.isfinite(np.asarray(g, np.float32)).all()
+               for g in jax.tree.leaves(gp))
+    # finite-difference check on one kernel element (fp32 math)
+    eps = 1e-2
+    k0 = params["params"]["kernel"]
+    bumped = jax.tree.map(lambda a: a, params)
+    bumped["params"]["kernel"] = k0.at[0, 0, 0, 0].add(eps)
+    fd = (float(loss(bumped, x)) - float(loss(params, x))) / eps
+    np.testing.assert_allclose(
+        float(np.asarray(gp["params"]["kernel"])[0, 0, 0, 0]), fd,
+        rtol=0.1)

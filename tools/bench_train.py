@@ -1,0 +1,106 @@
+"""Training-step throughput for the canonical v4 refinement trainer.
+
+Same tunnel-proof methodology as bench.py: K train steps run inside ONE
+jitted lax.while_loop (state threads through, so steps serialize and the
+runtime cannot dedup), timed at two K points; the slope is the per-step
+cost.  Reports steps/sec, frames/sec and achieved TFLOP/s (XLA
+cost-analysis FLOPs for fwd+bwd+adamw).
+
+Usage: python tools/bench_train.py [--batch 2] [--frames 8] [--size 518]
+       [--encoder vitl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_PEAK = 197e12
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--size", type=int, default=518)
+    ap.add_argument("--encoder", default="vitl")
+    ap.add_argument("--k", type=int, nargs=2, default=(1, 4))
+    args = ap.parse_args()
+
+    from vdn.models.refine import RefineVideoDepth
+    from vdn.train.trainer import RefineTrainer
+
+    model = RefineVideoDepth(version=4, encoder=args.encoder,
+                             compute_dtype=jnp.bfloat16, remat=True)
+    rng = np.random.default_rng(0)
+    b, t, s = args.batch, args.frames, args.size
+    batch = {
+        "depth_anything_v2": (rng.random((b, t, s, s)) * 65535
+                              ).astype(np.float32),
+        "depth": (rng.random((b, t, s, s)) * 10 + 0.5).astype(np.float32),
+        "mask": np.ones((b, t, s, s), np.float32),
+    }
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 56, 56), jnp.float32))
+    trainer = RefineTrainer(model, initial_lr=1e-5, stable_scale=10.0)
+    state = trainer.init_state(params)
+    from vdn.train.trainer import preprocess_depth_sequences
+    input_depths = preprocess_depth_sequences(
+        jnp.asarray(batch["depth_anything_v2"]),
+        jnp.asarray(batch["mask"]), norm=False)
+    gt = jnp.asarray(batch["depth"])
+    masks = jnp.asarray(batch["mask"])
+
+    @jax.jit
+    def run(state, input_depths, gt, masks, k):
+        def body(c):
+            i, st, acc = c
+            st, metrics = trainer._train_step_impl(st, input_depths, gt,
+                                                   masks)
+            return i + 1, st, acc + metrics["total_loss"]
+
+        _, _, acc = jax.lax.while_loop(
+            lambda c: c[0] < k, body,
+            (jnp.int32(0), state, jnp.float32(0.0)))
+        return acc
+
+    # cost analysis of a single train step for the TFLOP/s denominator
+    single = jax.jit(trainer._train_step_impl)
+    cost = single.lower(state, input_depths, gt,
+                        masks).compile().cost_analysis()
+    flops = cost.get("flops", float("nan")) if cost else float("nan")
+
+    float(run(state, input_depths, gt, masks, jnp.int32(1)))  # compile
+
+    def best(k):
+        v = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(state, input_depths, gt, masks, jnp.int32(k)))
+            v = min(v, time.perf_counter() - t0)
+        return v
+
+    k0, k1 = args.k
+    per_step = (best(k1) - best(k0)) / (k1 - k0)
+    print(json.dumps({
+        "metric": f"train_v4_{args.encoder}_{s}px_b{b}t{t}_step_ms",
+        "step_ms": round(per_step * 1e3, 1),
+        "steps_per_sec": round(1.0 / per_step, 3),
+        "frames_per_sec": round(b * t / per_step, 2),
+        "xla_flops_per_step": flops,
+        "tflops_per_sec": round(flops / per_step / 1e12, 1),
+        "mfu_vs_v5e_bf16_peak": round(flops / per_step / V5E_BF16_PEAK, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,43 @@ from jax import lax
 Dtype = Any
 
 
+def _conv_nhwc(x, kernel, stride, pad, fgc, accum_dtype):
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=stride,
+        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+        feature_group_count=fgc,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=accum_dtype)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv_nhwc_accum(x, kernel, stride, pad, fgc, accum_dtype):
+    """Mixed-dtype conv (e.g. bf16 in, fp32 accumulate+out).  XLA's
+    built-in conv gradient rejects cotangent/operand dtype mixes, so the
+    backward casts the cotangent to the input dtype and differentiates
+    the same-dtype conv — exactly the gradient a bf16 conv would produce
+    (matching the reference's autocast backward semantics)."""
+    return _conv_nhwc(x, kernel, stride, pad, fgc, accum_dtype)
+
+
+def _conv_accum_fwd(x, kernel, stride, pad, fgc, accum_dtype):
+    return _conv_nhwc_accum(x, kernel, stride, pad, fgc, accum_dtype), \
+        (x, kernel)
+
+
+def _conv_accum_bwd(stride, pad, fgc, accum_dtype, res, g):
+    x, kernel = res
+    _, vjp = jax.vjp(
+        lambda x, k: _conv_nhwc(x, k, stride, pad, fgc, None), x, kernel)
+    return vjp(g.astype(x.dtype))
+
+
+_conv_nhwc_accum.defvjp(_conv_accum_fwd, _conv_accum_bwd)
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch-style symmetric integer padding.
 
@@ -46,12 +83,11 @@ class Conv2d(nn.Module):
             self.param_dtype)
         pad = self.padding if isinstance(self.padding, tuple) else (
             self.padding, self.padding)
-        y = lax.conv_general_dilated(
-            x, kernel.astype(x.dtype), window_strides=self.stride,
-            padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-            feature_group_count=self.feature_group_count,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=self.accum_dtype)
+        conv = _conv_nhwc_accum if (
+            self.accum_dtype is not None
+            and self.accum_dtype != jnp.result_type(x)) else _conv_nhwc
+        y = conv(x, kernel.astype(x.dtype), tuple(self.stride), pad,
+                 self.feature_group_count, self.accum_dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)

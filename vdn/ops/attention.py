@@ -50,7 +50,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         use_flash = flash_enabled(q.shape[1], k.shape[1], bias)
     if use_flash:
         from vdn.ops.pallas.flash_attention import flash_attention
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale)
     return _xla_attention(q, k, v, scale, bias)
 
 

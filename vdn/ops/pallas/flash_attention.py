@@ -94,11 +94,28 @@ def _flash_bhtd(q, k, v, scale: float, block_q: int):
     )(q, k, v)
 
 
+def _xla_reference(q, k, v, scale):
+    """Plain-XLA attention (the vdn.ops.attention math) used as the
+    recompute target for the backward pass."""
+    dtype = q.dtype
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
     """Attention over [B, T, H, D] (same contract as the XLA path in
-    vdn.ops.attention)."""
+    vdn.ops.attention).
+
+    Differentiable: the backward recomputes with the plain-XLA attention
+    (remat-style, numerically the same fp32-softmax math) and
+    differentiates that — training through the encoder works with flash
+    on; the fp32 [B,H,T,T] logits exist only inside the (rematerialized)
+    backward."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, tq, h, d = q.shape
@@ -110,6 +127,20 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = _flash_bhtd(to_bhtd(q, tq), to_bhtd(k, tk), to_bhtd(v, tk),
                       float(scale), block_q)
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+
+
+def _flash_fwd(q, k, v, scale, block_q):
+    return flash_attention(q, k, v, scale, block_q), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, res, g):
+    q, k, v = res
+    s = q.shape[-1] ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, s), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
@@ -137,10 +168,12 @@ def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
                               block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
     """Self-attention straight off the fused projection, zero staging.
+    Differentiable via custom_vjp (plain-XLA recompute backward, like
+    ``flash_attention``).
 
     qkv [B, T, 3, H, D] -> out [B, T, H, D].  The tensor is viewed as
     [B, T, 3C] and the q/k/v operands are 128-wide *column block views*
@@ -163,8 +196,8 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
     if h % hb or (d * hb) % 128:
         # odd head config: fall back to the staged-transpose kernel
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        return flash_attention(q, k, v, scale=scale,
-                               block_q=block_q).reshape(b, t, h, d)
+        return flash_attention(q, k, v, scale,
+                               block_q).reshape(b, t, h, d)
     c = h * d
     qkv2 = qkv.reshape(b, t, 3 * c)
     n_colblocks = h // hb
@@ -194,6 +227,24 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
             transcendentals=b * h * t * t),
     )(qkv2, qkv2, qkv2)
     return out.reshape(b, t, h, d)
+
+
+def _fused_qkv_fwd(qkv, scale, block_q):
+    return flash_attention_fused_qkv(qkv, scale, block_q), qkv
+
+
+def _fused_qkv_bwd(scale, block_q, qkv, g):
+    d = qkv.shape[-1]
+    s = d ** -0.5 if scale is None else scale
+
+    def ref(qkv):
+        return _xla_reference(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], s)
+
+    _, vjp = jax.vjp(ref, qkv)
+    return vjp(g)
+
+
+flash_attention_fused_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
 def _flash_qkv_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, scale: float, hb: int):
