@@ -129,6 +129,117 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float, tq: int, bq: int):
+    """Full-K flash backward.  One grid step handles one q block against
+    the whole K/V row; dk/dv accumulate across the (sequential) q-block
+    grid axis into fp32 output blocks that stay resident in VMEM.
+
+    Math (out = P v, P = softmax(q k^T * scale)):
+      dv = P^T g
+      dP = g v^T;  ds = P * (dP - rowsum(dP * P))
+      dq = ds k * scale;  dk = ds^T q * scale
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0]                                          # [bq, d]
+    k = k_ref[0]                                          # [tk, d]
+    v = v_ref[0]
+    g = g_ref[0].astype(jnp.float32)                      # [bq, d]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [bq, tk]
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    big_p = p / jnp.sum(p, axis=1, keepdims=True)         # [bq, tk] f32
+    # rows past tq are block padding (undefined values): zero every
+    # operand that feeds a cross-row reduction — a padded NaN times a
+    # zeroed ds row is still NaN
+    rows = jax.lax.broadcasted_iota(jnp.int32, (big_p.shape[0], 1), 0)
+    valid = rows + i * bq < tq
+    big_p = jnp.where(valid, big_p, 0.0)
+    g = jnp.where(valid, g, 0.0)
+    q = jnp.where(valid, q, jnp.zeros_like(q))
+
+    dv_ref[0] += jax.lax.dot_general(
+        big_p, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [tk, d]
+    dp = jax.lax.dot_general(
+        g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bq, tk]
+    delta = jnp.sum(dp * big_p, axis=1, keepdims=True)    # [bq, 1]
+    ds = big_p * (dp - delta)                             # [bq, tk] f32
+    dsc = ds.astype(q.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        dsc, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        dsc, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [tk, d]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _flash_bwd_bhtd(q, k, v, g, scale: float, block_q: int):
+    """Gradients of `_flash_bhtd` w.r.t. (q, k, v); g [BH, Tq, D]."""
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    bq = _pick_block(tq, block_q)
+    grid = (bh, pl.cdiv(tq, bq))
+    flops = 10 * bh * tq * tk * d
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale, tq=tq, bq=bq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tk, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * (q.size + k.size + v.size)
+            * q.dtype.itemsize,
+            transcendentals=bh * tq * tk),
+    )(q, k, v, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _flash_grads(q, k, v, g, scale: float, block_q: int):
+    """(dq, dk, dv) for the [B, T, H, D] contract via the backward kernel."""
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+
+    def to_bhtd(x, t):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+    def from_bhtd(x, t):
+        return x.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+
+    dq, dk, dv = _flash_bwd_bhtd(
+        to_bhtd(q, tq), to_bhtd(k, tk), to_bhtd(v, tk), to_bhtd(g, tq),
+        float(scale), block_q)
+    return from_bhtd(dq, tq), from_bhtd(dk, tk), from_bhtd(dv, tk)
+
+
 def _flash_fwd(q, k, v, scale, block_q):
     return flash_attention(q, k, v, scale, block_q), (q, k, v)
 
@@ -136,8 +247,7 @@ def _flash_fwd(q, k, v, scale, block_q):
 def _flash_bwd(scale, block_q, res, g):
     q, k, v = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
-    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, s), q, k, v)
-    return vjp(g)
+    return _flash_grads(q, k, v, g, s, block_q)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -236,12 +346,9 @@ def _fused_qkv_fwd(qkv, scale, block_q):
 def _fused_qkv_bwd(scale, block_q, qkv, g):
     d = qkv.shape[-1]
     s = d ** -0.5 if scale is None else scale
-
-    def ref(qkv):
-        return _xla_reference(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], s)
-
-    _, vjp = jax.vjp(ref, qkv)
-    return vjp(g)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    dq, dk, dv = _flash_grads(q, k, v, g, s, block_q)
+    return (jnp.stack([dq, dk, dv], axis=2),)
 
 
 flash_attention_fused_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
