@@ -35,14 +35,20 @@ Dtype = Any
 
 def quantile_median(x: jnp.ndarray) -> jnp.ndarray:
     """torch.quantile(x, 0.5) over the last axis: linear-interpolated
-    median (unlike torch.median's lower-median)."""
+    median (unlike torch.median's lower-median).  Radix select instead
+    of a TPU bitonic sort (vdn/ops/select.py)."""
+    from vdn.ops.select import differentiable_value, kth_smallest
+
     n = x.shape[-1]
-    s = jnp.sort(x, axis=-1)
     pos = (n - 1) * 0.5
     lo = int(pos)
     hi = min(lo + 1, n - 1)
     frac = pos - lo
-    return s[..., lo] * (1 - frac) + s[..., hi] * frac
+    lo_v = differentiable_value(x, kth_smallest(x, lo + 1))
+    if hi == lo or frac == 0.0:
+        return lo_v
+    hi_v = differentiable_value(x, kth_smallest(x, hi + 1))
+    return lo_v * (1 - frac) + hi_v * frac
 
 
 class ZeroConv(nn.Module):
@@ -213,12 +219,17 @@ def match_seq_to_first_median(x: jnp.ndarray, eps: float = 1e-8,
                               scale: bool = True) -> jnp.ndarray:
     """Align frames 1..S-1 to frame 0's median/MAD
     (reference _v3.py:89-126; torch lower-median semantics)."""
+    from vdn.ops.select import differentiable_value, kth_smallest
+
     b, s, h, w = x.shape
     flat = x.reshape(b, s, -1)
     n = flat.shape[-1]
-    med = jnp.sort(flat, axis=-1)[..., (n - 1) // 2][..., None, None]
+    k = (n - 1) // 2 + 1  # torch lower median, via radix select
+    med = differentiable_value(
+        flat, kth_smallest(flat, k))[..., None, None]
     mad_flat = jnp.abs(x - med).reshape(b, s, -1)
-    mad = jnp.sort(mad_flat, axis=-1)[..., (n - 1) // 2][..., None, None]
+    mad = differentiable_value(
+        mad_flat, kth_smallest(mad_flat, k))[..., None, None]
     ref_med, ref_mad = med[:, :1], mad[:, :1]
     cur_med, cur_mad = med[:, 1:], mad[:, 1:]
     denom = jnp.where(cur_mad > eps, cur_mad, 1.0)
