@@ -1,6 +1,10 @@
 """Microbenchmark: flash kernel vs XLA einsum attention at ViT shapes.
 
-Chains inputs through outputs to defeat axon dispatch dedup.
+Slope-timed inside one lax.while_loop executable — host-side loop timing
+is invalid on this rig (block_until_ready doesn't wait and the runtime
+dedups/overlaps repeated dispatches; see bench.py's docstring).  Prefer
+in-model sweeps (tools/tune_kernels.sh) for tuning decisions; this tool
+is for quick kernel-vs-XLA comparisons and numerics checks only.
 """
 
 from __future__ import annotations
@@ -15,16 +19,35 @@ import jax
 import jax.numpy as jnp
 
 
-def bench(fn, args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    q = args[0]
-    start = time.perf_counter()
-    for _ in range(n):
-        out = fn(q, *args[1:])
-        q = q.at[0, 0, 0, 0].add(out.reshape(-1)[0] * 1e-6)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / n
+def bench(fn, args, ks=(1, 6)):
+    """Per-call seconds via the two-point in-executable slope (the only
+    timing method that holds up over the axon tunnel)."""
+
+    @jax.jit
+    def run(args, k):
+        def body(c):
+            i, args, acc = c
+            out = fn(*args)
+            bump = jnp.tanh(jnp.mean(out).astype(jnp.float32)) * 1e-3
+            args = (args[0] * (1.0 + bump).astype(args[0].dtype),
+                    *args[1:])
+            return i + 1, args, acc + bump
+
+        _, _, acc = jax.lax.while_loop(
+            lambda c: c[0] < k, body, (jnp.int32(0), args, jnp.float32(0)))
+        return acc
+
+    float(run(args, jnp.int32(1)))  # compile + warm
+
+    def best(k):
+        v = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(args, jnp.int32(k)))
+            v = min(v, time.perf_counter() - t0)
+        return v
+
+    return (best(ks[1]) - best(ks[0])) / (ks[1] - ks[0])
 
 
 def main():
@@ -39,8 +62,8 @@ def main():
     v = jax.random.normal(kv, (b, t, h, d), jnp.bfloat16)
     scale = d ** -0.5
 
-    xla = jax.jit(lambda q, k, v: _xla_attention(q, k, v, scale))
-    fl = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale))
+    xla = lambda q, k, v: _xla_attention(q, k, v, scale)  # noqa: E731
+    fl = lambda q, k, v: flash_attention(q, k, v, scale)  # noqa: E731
 
     t_xla = bench(xla, (q, k, v))
     t_flash = bench(fl, (q, k, v))
@@ -52,8 +75,8 @@ def main():
 
     # numerics check at the real shape
     import numpy as np
-    o1 = np.asarray(xla(q, k, v), np.float32)
-    o2 = np.asarray(fl(q, k, v), np.float32)
+    o1 = np.asarray(jax.jit(xla)(q, k, v), np.float32)
+    o2 = np.asarray(jax.jit(fl)(q, k, v), np.float32)
     print("max_abs_diff:", float(np.abs(o1 - o2).max()))
 
 

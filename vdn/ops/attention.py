@@ -55,11 +55,12 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def flash_enabled(tq: int, tk: int, bias=None) -> bool:
-    """Auto policy: the full-K Pallas kernel wins by >100x at ViT shapes on
-    TPU (2.1 ms vs 328 ms for one vitl 32-frame-window layer, 116 TF/s —
-    tools/bench_attention.py; the XLA path stages fp32 [B,H,T,T] logits in
-    HBM).  Short sequences (temporal attention, f<=32) and biased attention
-    stay on the XLA path."""
+    """Auto policy: the full-K Pallas kernel wins at ViT shapes on TPU —
+    slope-timed honestly: 5.2 ms vs 12.4 ms per vitl 32-frame-window
+    layer (2.4x; tools/bench_attention.py), and end-to-end the XLA path
+    also pays the fp32 [B,H,T,T] logits in HBM (3.8 GB/window, the
+    round-1 OOM source).  Short sequences (temporal attention, f<=32)
+    and biased attention stay on the XLA path."""
     return (bias is None and tq >= _FLASH_MIN_SEQ and tk >= _FLASH_MIN_SEQ
             and _on_tpu())
 
