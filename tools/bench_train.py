@@ -27,6 +27,65 @@ import numpy as np
 V5E_BF16_PEAK = 197e12
 
 
+def bench_metric(args):
+    """Metric-depth trainer (reference metric_depth/train.py semantics):
+    single-image DA2 + sigmoid head, SiLog loss, poly LR, 10x head LR."""
+    from vdn.models.metric_depth import MetricDepthAnythingV2
+    from vdn.train.metric_depth import MetricDepthTrainer
+
+    model = MetricDepthAnythingV2(encoder=args.encoder, max_depth=20.0,
+                                  compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    b, s = args.batch, args.size
+    img = jnp.asarray(rng.random((b, s, s, 3)).astype(np.float32))
+    depth = jnp.asarray((rng.random((b, s, s)) * 19 + 0.5
+                         ).astype(np.float32))
+    mask = jnp.ones((b, s, s), jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 56, 56, 3), jnp.float32))
+    trainer = MetricDepthTrainer(model)
+    params, opt_state = trainer.init_state(params)
+
+    @jax.jit
+    def run(params, opt_state, k):
+        def body(c):
+            i, p, o, acc = c
+            p, o, loss = trainer._train_step_impl(p, o, img, depth, mask)
+            return i + 1, p, o, acc + loss
+
+        _, _, _, acc = jax.lax.while_loop(
+            lambda c: c[0] < k, body,
+            (jnp.int32(0), params, opt_state, jnp.float32(0.0)))
+        return acc
+
+    single = jax.jit(trainer._train_step_impl)
+    cost = single.lower(params, opt_state, img, depth,
+                        mask).compile().cost_analysis()
+    flops = cost.get("flops", float("nan")) if cost else float("nan")
+
+    float(run(params, opt_state, jnp.int32(1)))
+
+    def best(k):
+        v = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(params, opt_state, jnp.int32(k)))
+            v = min(v, time.perf_counter() - t0)
+        return v
+
+    k0, k1 = args.k
+    per_step = (best(k1) - best(k0)) / (k1 - k0)
+    print(json.dumps({
+        "metric": f"train_metric_{args.encoder}_{s}px_b{b}_step_ms",
+        "step_ms": round(per_step * 1e3, 1),
+        "steps_per_sec": round(1.0 / per_step, 3),
+        "images_per_sec": round(b / per_step, 2),
+        "xla_flops_per_step": flops,
+        "tflops_per_sec": round(flops / per_step / 1e12, 1),
+        "mfu_vs_v5e_bf16_peak": round(flops / per_step / V5E_BF16_PEAK, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=2)
@@ -34,7 +93,14 @@ def main():
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--encoder", default="vitl")
     ap.add_argument("--k", type=int, nargs=2, default=(1, 4))
+    ap.add_argument("--model", default="refine",
+                    choices=("refine", "metric"),
+                    help="refine: canonical v4 trainer; metric: the "
+                         "metric-depth (SiLog) trainer")
     args = ap.parse_args()
+
+    if args.model == "metric":
+        return bench_metric(args)
 
     from vdn.models.refine import RefineVideoDepth
     from vdn.train.trainer import RefineTrainer
