@@ -6,7 +6,7 @@ Baseline denominator: the Video-Depth-Anything paper reports ~9.1 frames/sec
 for VDA-L at 518px on a single A100 (the reference repo itself publishes no
 numbers — see BASELINE.md); vs_baseline = our_fps / 9.1.
 
-Timing methodology (tunnel-proof, two-point scan slope):
+Timing methodology (tunnel-proof, two-point while_loop slope):
 
 The axon TPU tunnel in this rig makes naive host-side timing WORTHLESS in
 both directions: ``block_until_ready`` returns without waiting (8 chained
@@ -17,7 +17,9 @@ host-side chained loop (60.6, 113.4 fps) were inflated by runtime overlap:
 the jax.profiler module wall shows one 32-frame vitl window takes 459 ms
 on the chip — a hard physical bound the loop numbers violate.
 
-This bench instead runs K windows inside ONE jitted ``lax.scan``, chaining
+This bench instead runs K windows inside ONE jitted ``lax.while_loop``
+(with a traced trip count so both measurement points share one
+executable), chaining
 each window's input on the previous window's output *inside the
 executable* (the runtime cannot dedup or reorder steps it cannot see), and
 times K=K_SMALL vs K=K_LARGE with a scalar-output fetch forcing

@@ -68,9 +68,10 @@ def test_qkv_fused_matches_xla(t, h, d):
 
 
 def test_flash_attention_grads_match_xla():
-    """Training path: the custom_vjp backward (plain-XLA recompute) must
-    produce the XLA path's gradients — round 2 shipped a kernel with NO
-    vjp, which broke jax.grad through any flash-enabled encoder."""
+    """Training path: the custom_vjp backward (the Pallas full-K backward
+    kernel) must produce the XLA path's gradients — round 2 shipped a
+    kernel with NO vjp, which broke jax.grad through any flash-enabled
+    encoder."""
     rng = np.random.default_rng(2)
     q = rng.standard_normal((1, 192, 2, 32)).astype(np.float32)
     k = rng.standard_normal((1, 192, 2, 32)).astype(np.float32)

@@ -112,3 +112,45 @@ def test_normal_loss_and_vector_match():
     np.testing.assert_allclose(float(g["normal_loss"]),
                                float(r["normal_loss"]), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_ssim_cs_loss_separable_conv_blur():
+    """The SSIM blur is two VALID depthwise convs (TPU-friendly); check the
+    whole term against a direct numpy np.convolve implementation of the
+    same math (the reference MS_SSIM with weights [1,0,0,0,0],
+    loss.py:296-323)."""
+    rng = np.random.default_rng(5)
+    b, t, h, w = 2, 2, 24, 28
+    pred = rng.random((b, t, h, w)).astype(np.float32) * 3
+    target = rng.random((b, t, h, w)).astype(np.float32) * 3
+    mask = (rng.random((b, t, h, w)) > 0.2).astype(np.float32)
+
+    win_size, sigma = 7, 1.5
+    coords = np.arange(win_size, dtype=np.float64) - (win_size - 1) / 2
+    g = np.exp(-coords ** 2 / (2 * sigma ** 2))
+    g /= g.sum()
+
+    m = mask
+    mx = np.clip(np.maximum((pred * m).reshape(b, -1).max(1),
+                            (target * m).reshape(b, -1).max(1)),
+                 1e-8, None)
+    p = (pred / mx[:, None, None, None]).reshape(-1, h, w)
+    tt = (target / mx[:, None, None, None]).reshape(-1, h, w)
+
+    def blur(x):
+        x = np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="valid"), 1, x)
+        return np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="valid"), 2, x)
+
+    mu_p, mu_t = blur(p), blur(tt)
+    spp = blur(p * p) - mu_p ** 2
+    stt = blur(tt * tt) - mu_t ** 2
+    spt = blur(p * tt) - mu_p * mu_t
+    c2 = 0.03 ** 2
+    cs = (2 * spt + c2) / (spp + stt + c2)
+    want = 1.0 - np.maximum(cs, 0).mean()
+
+    got = float(L.ssim_cs_loss(pred, target, mask, win_size=win_size,
+                               sigma=sigma))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

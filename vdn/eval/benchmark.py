@@ -32,9 +32,13 @@ def benchmark_fn(fn: Callable, args, chain: Callable = None,
         def chain(args, out):
             leaf = jax.tree.leaves(out)[0]
             bump = jnp.tanh(jnp.mean(leaf).astype(jnp.float32)) * 1e-3
-            first = args[0] * (1.0 + bump).astype(
-                jnp.result_type(args[0]))
-            return (first,) + tuple(args[1:])
+            # fold the bump into the first *array leaf* of args (args[0]
+            # may be a params pytree, e.g. benchmark_fn(model.apply,
+            # (params, x)))
+            flat, treedef = jax.tree.flatten(tuple(args))
+            flat[0] = flat[0] * (1.0 + bump).astype(
+                jnp.result_type(flat[0]))
+            return jax.tree.unflatten(treedef, flat)
 
     @jax.jit
     def run(args, k):

@@ -96,10 +96,13 @@ class Scratch(nn.Module):
         self.refinenet3 = ffb(f, pd)
         self.refinenet4 = ffb(f, pd)
         self.output_conv1 = Conv2d(f // 2, (3, 3), padding=1, param_dtype=pd)
-        # fp32 *accumulation* island: the input feature is already rounded
-        # to the compute dtype, so upcasting it buys nothing — accumulate
-        # and emit fp32 out of a compute-dtype conv instead (4x MXU rate
-        # and no 518^2x128 fp32 convert vs a full-fp32 conv on bf16 TPU)
+        # fp32 *accumulation* island: under bf16 compute the operands
+        # (input feature AND this conv's weights) are rounded to bf16 and
+        # only the accumulator/output is fp32 — a deliberate deviation
+        # from the reference's fully-fp32 island (dpt_temporal.py:108-110)
+        # for 4x MXU rate and no 518^2x128 fp32 convert; the bf16-vs-fp32
+        # drift of this path is bounded by
+        # tests/test_dpt.py::test_output_island_bf16_drift
         self.output_conv2_0 = Conv2d(32, (3, 3), padding=1, param_dtype=pd,
                                      accum_dtype=jnp.float32)
         self.output_conv2_2 = Conv2d(1, (1, 1), padding=0, param_dtype=pd)
@@ -124,8 +127,9 @@ class Scratch(nn.Module):
         out = self.output_conv1(path_1)
         out = resize2d(out, out_hw, "bilinear", align_corners=True)
         feat = out
-        # fp32 island (reference dpt_temporal.py:108-110): compute-dtype
-        # inputs, fp32 accumulation/weights from here to the output
+        # fp32-accumulation island (cf. reference dpt_temporal.py:108-110):
+        # compute-dtype operands, fp32 accumulator + fp32 activations from
+        # here to the output (see the output_conv2_0 note in setup)
         y = self.output_conv2_0(out)
         y = jax.nn.relu(y)
         y = self.output_conv2_2(y)

@@ -111,11 +111,11 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """Attention over [B, T, H, D] (same contract as the XLA path in
     vdn.ops.attention).
 
-    Differentiable: the backward recomputes with the plain-XLA attention
-    (remat-style, numerically the same fp32-softmax math) and
-    differentiates that — training through the encoder works with flash
-    on; the fp32 [B,H,T,T] logits exist only inside the (rematerialized)
-    backward."""
+    Differentiable: the registered VJP is the Pallas full-K backward
+    kernel (``_flash_bwd_bhtd``) — dk/dv accumulate across the sequential
+    q-block grid axis in VMEM-resident fp32 blocks, so the fp32 [B,H,T,T]
+    logits never touch HBM in either direction (gradient-parity vs the
+    XLA attention in tests/test_flash_attention.py)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, tq, h, d = q.shape
@@ -282,8 +282,8 @@ def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
                               block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
     """Self-attention straight off the fused projection, zero staging.
-    Differentiable via custom_vjp (plain-XLA recompute backward, like
-    ``flash_attention``).
+    Differentiable via custom_vjp — the backward splits q/k/v views and
+    runs the same Pallas full-K backward kernel as ``flash_attention``.
 
     qkv [B, T, 3, H, D] -> out [B, T, H, D].  The tensor is viewed as
     [B, T, 3C] and the q/k/v operands are 128-wide *column block views*

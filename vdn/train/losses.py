@@ -240,14 +240,19 @@ def ssim_cs_loss(prediction: Array, target: Array, mask: Array,
     t = (target / max_val[:, None, None, None]).reshape(
         -1, *target.shape[2:])[..., None]
 
-    win = _gaussian_window(win_size, sigma)
+    win = _gaussian_window(win_size, sigma).astype(prediction.dtype)
+    # separable gaussian as two VALID depthwise convs — jnp.convolve /
+    # apply_along_axis lowers to scalarized loops on TPU and would crater
+    # the step the moment ssim_loss_scale > 0
+    kh = win.reshape(win_size, 1, 1, 1)
+    kw = win.reshape(1, win_size, 1, 1)
 
-    def blur(x):
-        x = jax.vmap(lambda img: jnp.apply_along_axis(
-            lambda v: jnp.convolve(v, win, mode="valid"), 0, img))(x)
-        x = jax.vmap(lambda img: jnp.apply_along_axis(
-            lambda v: jnp.convolve(v, win, mode="valid"), 1, img))(x)
-        return x
+    def blur(x):  # [N, H, W, 1]
+        dn = ("NHWC", "HWIO", "NHWC")
+        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                         dimension_numbers=dn)
+        return jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                            dimension_numbers=dn)
 
     mu_p, mu_t = blur(p), blur(t)
     spp = blur(p * p) - mu_p * mu_p
