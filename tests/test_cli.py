@@ -1,5 +1,6 @@
 """CLI integration: torch checkpoint -> conversion -> inference -> files."""
 
+import json
 import os
 
 import cv2
@@ -101,9 +102,8 @@ def test_app_demo_roundtrip():
         server.shutdown()
 
 
-def test_train_cli_with_resume(tmp_path):
-    """Drive the training CLI end-to-end twice: a 1-epoch run that saves an
-    async checkpoint, then --resume continuing to epoch 2."""
+def _make_sintel_fixture(tmp_path, seq_len=4, out_size=28):
+    """Tiny on-disk Sintel-format dataset + yaml config for CLI drives."""
     import cv2
     import struct
     import yaml
@@ -123,8 +123,9 @@ def test_train_cli_with_resume(tmp_path):
             str(root / "depth_anything_v2" / "scene_a" / f"f_{i:04d}.png"),
             (rng.random((40, 56)) * 60000).astype(np.uint16))
     cfg = {
-        "dataset_common": {"sequence_length": 4, "sequence_stride": 4,
-                           "output_size": [28, 28],
+        "dataset_common": {"sequence_length": seq_len,
+                           "sequence_stride": seq_len,
+                           "output_size": [out_size, out_size],
                            "use_random_crop": False},
         "datasets": {"Sintel": {
             "train_split": 0.5,
@@ -134,6 +135,13 @@ def test_train_cli_with_resume(tmp_path):
     }
     cfg_path = tmp_path / "cfg.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
+    return cfg_path
+
+
+def test_train_cli_with_resume(tmp_path):
+    """Drive the training CLI end-to-end twice: a 1-epoch run that saves an
+    async checkpoint, then --resume continuing to epoch 2."""
+    cfg_path = _make_sintel_fixture(tmp_path)
 
     from vdn.cli.train import main
     common = ["--dataset-config", str(cfg_path), "--datasets", "Sintel",
@@ -145,4 +153,30 @@ def test_train_cli_with_resume(tmp_path):
     main(common + ["--epochs", "1"])
     ckdir = tmp_path / "ckpts" / "refine_v4"
     assert any(ckdir.iterdir()), "no checkpoint written"
+    main(common + ["--epochs", "2", "--resume"])
+
+
+def test_train_v1_cli_with_eval_and_resume(tmp_path):
+    """Drive the v1 harness end-to-end (reference scripts/train.py:413-530):
+    train + validate-per-epoch + async checkpoint, then --resume — the
+    same surface RefineTrainer's CLI has."""
+    cfg_path = _make_sintel_fixture(tmp_path, seq_len=2, out_size=64)
+
+    from vdn.cli.train_v1 import main
+    common = ["--dataset-config", str(cfg_path), "--datasets", "Sintel",
+              "--encoder", "hiera_test", "--sequence-length", "2",
+              "--attention-levels", "3",
+              "--batch-size", "1",
+              "--val-interval", "1", "--save-interval", "1",
+              "--debug-nans",
+              "--checkpoint-dir", str(tmp_path / "ckpts"),
+              "--log-dir", str(tmp_path / "logs")]
+    main(common + ["--epochs", "1"])
+    ckdir = tmp_path / "ckpts" / "video_depth_normal_v1"
+    assert any(ckdir.iterdir()), "no checkpoint written"
+    # validation metrics were logged
+    logs = list((tmp_path / "logs").glob("*.metrics.jsonl"))
+    rec = [json.loads(line) for line in
+           logs[0].read_text().strip().split("\n")][-1]
+    assert any(k.startswith("validation/") for k in rec), rec
     main(common + ["--epochs", "2", "--resume"])

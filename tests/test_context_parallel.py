@@ -115,3 +115,47 @@ def test_vit_tensor_parallel_matches():
     # the wide kernels must actually be sharded over the model axis
     qkv = sharded["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
     assert len(qkv.sharding.device_set) == 8
+
+
+def test_vitg_swiglu_tensor_parallel_matches():
+    """The vitg family uses SwiGLU (w12/w3) — exercise those TP rules
+    numerically on a small SwiGLU ViT over the 8-way model axis."""
+    from vdn.nn.vit import DinoVisionTransformer
+    from vdn.parallel.sharding import shard_params
+    mesh = make_mesh(data=1, seq=1, model=8)
+    model = DinoVisionTransformer(embed_dim=256, depth=2, num_heads=8,
+                                  ffn="swiglufused", use_flash=False)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 56, 56, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(model.apply(params, x))
+    with mesh:
+        sharded = shard_params(params, mesh)
+        got = np.asarray(jax.jit(model.apply)(sharded, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    w12 = sharded["params"]["blocks_0"]["mlp"]["w12"]["kernel"]
+    assert len(w12.sharding.device_set) == 8
+
+
+def test_tp_coverage_assertion_on_vitg_tree():
+    """Coverage guard: the REAL vitg (1.3B) param tree — via eval_shape,
+    no materialization — has every wide matmul matched by a rule; a
+    renamed layer trips the assertion instead of silently replicating."""
+    from vdn.nn.vit import make_vit
+    from vdn.parallel.sharding import assert_tp_coverage, vit_tp_rules
+
+    model = make_vit("vitg", use_flash=False)
+    params = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 56, 56, 3), np.float32))
+    # full vitg tree passes
+    assert_tp_coverage(params)
+
+    # simulate a rename of the matmul itself (rules match the kernel's
+    # parent module name, so renaming w12 -> w12_fused falls through)
+    blk = {k: dict(v) for k, v in params["params"]["blocks_0"].items()}
+    blk["mlp"]["w12_fused"] = blk["mlp"].pop("w12")
+    broken = {"params": {**params["params"], "blocks_0": blk}}
+    rules = vit_tp_rules(broken)
+    with pytest.raises(ValueError, match="replicated"):
+        assert_tp_coverage(broken, rules)

@@ -41,6 +41,14 @@ def main(argv=None):
     parser.add_argument("--log-dir", default="./logs")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--distributed", action="store_true")
+    parser.add_argument("--run-name", default=None)
+    parser.add_argument("--use-wandb", action="store_true")
+    parser.add_argument("--resume-run", action="store_true",
+                        help="re-attach logging to the tracked run named "
+                        "--run-name (or the latest) incl. its wandb id")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="numeric sanitizer: jax_debug_nans + finite-"
+                        "loss guard per step")
     parser.add_argument("--compute-dtype", default="bf16",
                         choices=["fp32", "bf16"])
     args = parser.parse_args(argv)
@@ -50,6 +58,8 @@ def main(argv=None):
         initialize_distributed()
 
     import jax
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
     from vdn.core.checkpoint import (load_torch_checkpoint, save_pytree)
     from vdn.core.convert import convert_torch_state
@@ -95,7 +105,9 @@ def main(argv=None):
                                  min_depth=args.min_depth,
                                  max_depth=args.max_depth)
     state = trainer.init_state(params)
-    logger = MetricWriter(args.log_dir, project="vdn-metric") \
+    logger = MetricWriter(args.log_dir, project="vdn-metric",
+                          run_name=args.run_name, use_wandb=args.use_wandb,
+                          resume=args.resume_run) \
         if is_primary() else None
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
@@ -106,6 +118,10 @@ def main(argv=None):
         count = 0
         for batch in train_loader:
             state, loss = trainer.train_step(state, batch, rng)
+            if args.debug_nans and not np.isfinite(float(loss)):
+                raise FloatingPointError(
+                    f"non-finite loss {float(loss)} at epoch {epoch} "
+                    f"step {count} (--debug-nans)")
             total += loss
             count += 1
         if logger:

@@ -1,9 +1,13 @@
-"""Refinement training CLI (v4 semantics, reference scripts/train_v4.py).
+"""v1 research-model training CLI (reference scripts/train.py:413-530).
+
+Depth+normal objective over the dual-Hiera model, with per-epoch
+validation (reference ``validate``, train.py:376-410), orbax async
+checkpointing, and deterministic resume — the same harness surface as
+`vdn.cli.train` (the v4 trainer).
 
 Usage:
-  python -m vdn.cli.train --dataset-config configs/train_dataset_config.yaml \
-      --datasets Sintel --encoder vitl [--from-pretrained ckpt.pth] \
-      [--epochs 10] [--batch-size 2]
+  python -m vdn.cli.train_v1 --dataset-config configs/train_dataset_config.yaml \
+      --datasets Sintel --encoder hiera_base_224 [--epochs 200]
 """
 
 from __future__ import annotations
@@ -15,70 +19,57 @@ import numpy as np
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="vdn refinement training")
+    parser = argparse.ArgumentParser(description="vdn v1 depth+normal "
+                                     "training")
     parser.add_argument("--dataset-config", type=str, required=True)
     parser.add_argument("--datasets", nargs="+", default=["Sintel"])
-    parser.add_argument("--encoder", default="vitl",
-                        choices=["vits", "vitl"])
-    parser.add_argument("--model-version", type=int, default=4)
-    parser.add_argument("--from-pretrained", type=str, default=None)
-    parser.add_argument("--epochs", type=int, default=10)
-    parser.add_argument("--batch-size", type=int, default=2)
-    parser.add_argument("--initial-lr", type=float, default=1e-5)
-    parser.add_argument("--final-lr", type=float, default=0.0)
-    parser.add_argument("--alpha", type=float, default=0.5)
-    parser.add_argument("--stable-scale", type=float, default=10.0)
-    parser.add_argument("--ssim-loss-scale", type=float, default=0.0)
-    parser.add_argument("--freeze-temporal-head", type=int, default=None,
-                        help="1/0; default: frozen for v4/v5 (reference "
-                        "train_v4.py:493), trainable for v2/v3")
+    parser.add_argument("--encoder", default="hiera_base_224",
+                        help="hub-MAE names (hiera_*_224) or SAM2 hieradet "
+                        "names (hiera_tiny, ...)")
+    parser.add_argument("--sequence-length", type=int, default=16)
+    parser.add_argument("--attention-levels", default="2,3",
+                        help="comma-separated pyramid levels that get the "
+                        "(temporal-spatial)x2 attention stacks "
+                        "(reference video_depth_head_v2_sangyu.py:179)")
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--batch-size", type=int, default=6)
+    parser.add_argument("--initial-lr", type=float, default=1e-4)
+    parser.add_argument("--final-lr", type=float, default=1e-7)
+    parser.add_argument("--alpha", type=float, default=0.0)
+    parser.add_argument("--stable-scale", type=float, default=0.0)
+    parser.add_argument("--normal-loss-scale", type=float, default=0.0)
     parser.add_argument("--use-residual", action="store_true", default=True)
-    parser.add_argument("--input-normal", action="store_true", default=True)
     parser.add_argument("--checkpoint-dir", default="./checkpoints")
     parser.add_argument("--resume", action="store_true",
-                        help="resume from the latest checkpoint in "
-                        "--checkpoint-dir (params+optimizer+epoch, with a "
-                        "deterministic data-stream restart)")
+                        help="resume from the latest checkpoint "
+                        "(params+optimizer+epoch + deterministic data "
+                        "restart), like vdn.cli.train")
     parser.add_argument("--log-dir", default="./logs")
-    parser.add_argument("--run-name", default=None,
-                        help="experiment name; with --resume, re-attaches "
-                        "to this tracked run (and its wandb id) instead of "
-                        "allocating a new E### entry")
+    parser.add_argument("--run-name", default=None)
     parser.add_argument("--use-wandb", action="store_true")
-    parser.add_argument("--debug-nans", action="store_true",
-                        help="numeric sanitizer: jax_debug_nans (raises at "
-                        "the op that produced the first NaN) + a finite-"
-                        "loss guard per step")
     parser.add_argument("--val-interval", type=int, default=1)
     parser.add_argument("--save-interval", type=int, default=1)
     parser.add_argument("--seed", type=int, default=42)
-    parser.add_argument("--compute-dtype", default="bf16",
-                        choices=["fp32", "bf16"])
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="numeric sanitizer: jax_debug_nans + finite-"
+                        "loss guard per step")
     args = parser.parse_args(argv)
 
     import jax
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    import jax.numpy as jnp
-    from vdn.core.checkpoint import (TrainCheckpointer,
-                                     load_torch_checkpoint)
-    from vdn.core.convert import convert_torch_state
+    from vdn.core.checkpoint import TrainCheckpointer
     from vdn.data.factory import (BatchLoader, ConcatDataset,
                                   WeightedSampler, create_datasets)
-    from vdn.models.presets import MODEL_CONFIGS
-    from vdn.models.refine import RefineVideoDepth
-    from vdn.train.trainer import (RefineTrainer, V4_RENAME_MAP,
-                                   rename_with_map)
+    from vdn.models.video_depth_v1 import VideoDepthEstimationModel
+    from vdn.train.trainer import V1Trainer
     from vdn.utils.logging import MetricWriter
 
-    cfg = MODEL_CONFIGS[args.encoder]
-    dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
-    model = RefineVideoDepth(
-        version=args.model_version, encoder=cfg["encoder"],
-        features=cfg["features"], out_channels=tuple(cfg["out_channels"]),
-        use_residual=args.use_residual, input_normal=args.input_normal,
-        internal_size=224 if args.model_version == 5 else None,
-        compute_dtype=dtype)
+    levels = tuple(int(v) for v in args.attention_levels.split(","))
+    model = VideoDepthEstimationModel(
+        sequence_length=args.sequence_length, encoder=args.encoder,
+        attention_feature_levels=levels,
+        use_residual=args.use_residual, use_final_relu=True)
 
     train_sets = create_datasets(args.datasets, args.dataset_config,
                                  "train", args.seed)
@@ -92,28 +83,23 @@ def main(argv=None):
                              shuffle=False)
 
     sample = train_concat[0]
-    init_x = sample["depth_anything_v2"][None, :2].astype(np.float32)
-    if args.from_pretrained:
-        state = load_torch_checkpoint(args.from_pretrained)
-        params = {"params": convert_torch_state(
-            state, rename=lambda k: rename_with_map(k, V4_RENAME_MAP))}
-    else:
-        params = model.init(jax.random.PRNGKey(args.seed), init_x)
+    init_depth = sample["depth_anything_v2"][None, :2].astype(
+        np.float32) / 65535.0
+    init_rgb = sample["rgb"][None, :2].astype(np.float32)
+    params = model.init(jax.random.PRNGKey(args.seed), init_depth,
+                        init_rgb)
 
-    freeze = (args.model_version >= 4 if args.freeze_temporal_head is None
-              else bool(args.freeze_temporal_head))
-    trainer = RefineTrainer(
+    trainer = V1Trainer(
         model, initial_lr=args.initial_lr, final_lr=args.final_lr,
         alpha=args.alpha, stable_scale=args.stable_scale,
-        ssim_loss_scale=args.ssim_loss_scale,
-        freeze_temporal_head=freeze)
+        normal_loss_scale=args.normal_loss_scale)
     state = trainer.init_state(params)
 
     logger = MetricWriter(args.log_dir, run_name=args.run_name,
                           use_wandb=args.use_wandb, resume=args.resume)
     os.makedirs(args.checkpoint_dir, exist_ok=True)
     ckpt = TrainCheckpointer(os.path.join(
-        args.checkpoint_dir, f"refine_v{args.model_version}"))
+        args.checkpoint_dir, "video_depth_normal_v1"))
     start_epoch = 0
     if args.resume:
         restored = ckpt.restore_latest({"state": state, "epoch": 0})
@@ -151,7 +137,6 @@ def main(argv=None):
         logger.send_log(step=epoch + 1)
 
         if (epoch + 1) % args.save_interval == 0:
-            # async: serialization overlaps the next epoch's compute
             ckpt.save(epoch + 1, {"state": state, "epoch": epoch + 1})
     ckpt.close()
     logger.finish()
@@ -159,6 +144,7 @@ def main(argv=None):
 
 def _to_batch(batch):
     return {
+        "rgb": batch["rgb"].astype(np.float32),
         "depth_anything_v2": batch["depth_anything_v2"].astype(np.float32),
         "depth": batch["depth"].astype(np.float32),
         "mask": batch["mask"].astype(np.float32),

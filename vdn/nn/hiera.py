@@ -46,6 +46,11 @@ HIERA_CONFIGS = {
                         global_att_blocks=(23, 33, 43),
                         window_spec=(8, 4, 16, 8),
                         window_pos_embed_bkg_spatial_size=(7, 7)),
+    # not a released variant: 4-block toy for tests/CI (XLA CPU compiles
+    # the hiera_tiny v1 train step in ~4.5 min; this one in seconds)
+    "hiera_test": dict(embed_dim=32, num_heads=1, stages=(1, 1, 1, 1),
+                       global_att_blocks=(2,),
+                       window_pos_embed_bkg_spatial_size=(7, 7)),
 }
 
 

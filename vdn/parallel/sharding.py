@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vdn.parallel.mesh import MODEL_AXIS
 
-__all__ = ["vit_tp_rules", "shard_params"]
+__all__ = ["vit_tp_rules", "shard_params", "assert_tp_coverage"]
 
 _COL_PARALLEL = ("qkv", "fc1", "w12")   # kernel [in, out]: shard out
 _ROW_PARALLEL = ("proj", "fc2", "w3")   # kernel [in, out]: shard in
@@ -50,10 +50,53 @@ def vit_tp_rules(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(_spec_for_path, params)
 
 
-def shard_params(params: Any, mesh: Mesh, rules: Any = None) -> Any:
-    """device_put the params with NamedShardings derived from the rules."""
+def assert_tp_coverage(params: Any, rules: Any = None, *,
+                       min_dim: int = 1024,
+                       allow_replicated: tuple = ()) -> None:
+    """Fail loudly if a wide matmul silently replicates.
+
+    The rules above match by parameter *name* (qkv/proj/fc1/...), so a
+    renamed layer would fall through to P() and replicate 100s of MB per
+    device without any error.  This walks the tree and raises if any
+    rank-2 kernel with both dims >= ``min_dim`` (every attention/MLP
+    matmul of vitl/vitg clears this; per-head and conv kernels don't)
+    got a fully-replicated spec and its path is not explicitly listed in
+    ``allow_replicated`` (substring match on the '/'-joined path).
+    """
     if rules is None:
         rules = vit_tp_rules(params)
+    flat_params = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_rules = jax.tree_util.tree_leaves(
+        rules, is_leaf=lambda x: isinstance(x, P))
+    assert len(flat_params) == len(flat_rules), "rules tree mismatch"
+    offenders = []
+    for (path, value), spec in zip(flat_params, flat_rules):
+        if getattr(value, "ndim", 0) != 2:
+            continue
+        if min(value.shape) < min_dim:
+            continue
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if any(a in name for a in allow_replicated):
+            continue
+        if all(axis is None for axis in spec):
+            offenders.append(f"{name} {tuple(value.shape)} -> {spec}")
+    if offenders:
+        raise ValueError(
+            "tensor-parallel rules left wide matmuls replicated "
+            "(rename fell through the name-based rules?):\n  "
+            + "\n  ".join(offenders))
+
+
+def shard_params(params: Any, mesh: Mesh, rules: Any = None,
+                 check_coverage: bool = False, **coverage_kwargs) -> Any:
+    """device_put the params with NamedShardings derived from the rules.
+
+    ``check_coverage=True`` runs :func:`assert_tp_coverage` first so a
+    renamed wide matmul fails instead of silently replicating."""
+    if rules is None:
+        rules = vit_tp_rules(params)
+    if check_coverage:
+        assert_tp_coverage(params, rules, **coverage_kwargs)
     return jax.tree_util.tree_map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
         params, rules)

@@ -243,17 +243,38 @@ class V1Trainer:
 
         self._train_step = train_step
 
+        @jax.jit
+        def eval_step(params, input_depths, rgbs, gt_depths, masks):
+            gt_disp = 1.0 / jnp.clip(gt_depths, 1e-8, None)
+            _, loss_dict = loss_fn(params, input_depths, rgbs, gt_disp,
+                                   masks)
+            return loss_dict
+
+        self._eval_step = eval_step
+
     def init_state(self, params) -> TrainState:
         return TrainState(params=params, opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    def train_step(self, state, batch):
-        """batch: rgb [B,S,H,W,3] 0-1, depth_anything_v2/depth/mask
-        [B,S,H,W] (reference train.py:426-440 preprocessing)."""
+    def _preprocess(self, batch):
         rgbs = preprocess_rgb_sequences(jnp.asarray(batch["rgb"]))
         input_depths = preprocess_depth_sequences(
             jnp.asarray(batch["depth_anything_v2"]),
             jnp.asarray(batch["mask"]), norm=False) / self.input_depth_max
+        return rgbs, input_depths
+
+    def train_step(self, state, batch):
+        """batch: rgb [B,S,H,W,3] 0-1, depth_anything_v2/depth/mask
+        [B,S,H,W] (reference train.py:426-440 preprocessing)."""
+        rgbs, input_depths = self._preprocess(batch)
         return self._train_step(
             state, input_depths, rgbs, jnp.asarray(batch["depth"]),
+            jnp.asarray(batch["mask"]).astype(jnp.float32))
+
+    def eval_step(self, state, batch):
+        """Validation losses, no update (reference train.py:376-410
+        ``validate`` — same criteria under torch.no_grad)."""
+        rgbs, input_depths = self._preprocess(batch)
+        return self._eval_step(
+            state.params, input_depths, rgbs, jnp.asarray(batch["depth"]),
             jnp.asarray(batch["mask"]).astype(jnp.float32))
