@@ -74,8 +74,10 @@ def poly_schedule(base_lr: float, total_iters: int,
 class MetricDepthTrainer:
     def __init__(self, model, base_lr: float = 5e-6,
                  total_iters: int = 100_000, min_depth: float = 0.001,
-                 max_depth: float = 20.0, weight_decay: float = 0.01):
+                 max_depth: float = 20.0, weight_decay: float = 0.01,
+                 mesh=None):
         self.model = model
+        self.mesh = mesh
         self.min_depth = min_depth
         self.max_depth = max_depth
         sched = poly_schedule(base_lr, total_iters)
@@ -93,8 +95,19 @@ class MetricDepthTrainer:
              "head": optax.adamw(sched10, b1=0.9, b2=0.999,
                                  weight_decay=weight_decay)},
             label_fn)
-        self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0, 1))
+        if mesh is None:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0, 1))
+        else:
+            # reference metric_depth/train.py:93-96 wraps the model in
+            # NCCL DDP; here the batch rides the mesh's 'data' axis and
+            # XLA inserts the gradient all-reduce.
+            from vdn.train.trainer import _dp_shardings
+            batch_s, rep = _dp_shardings(mesh)
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0, 1),
+                in_shardings=(rep, rep, batch_s, batch_s, batch_s),
+                out_shardings=(rep, rep, rep))
 
     def init_state(self, params):
         return (params, self.tx.init(params))
@@ -106,6 +119,9 @@ class MetricDepthTrainer:
         return silog_loss(pred, depth, mask)
 
     def _train_step_impl(self, params, opt_state, img, depth, valid_mask):
+        from vdn.train.trainer import _pin_batch
+        img, depth, valid_mask = _pin_batch(self.mesh, img, depth,
+                                            valid_mask)
         loss, grads = jax.value_and_grad(self._loss)(params, img, depth,
                                                      valid_mask)
         updates, opt_state = self.tx.update(grads, opt_state, params)

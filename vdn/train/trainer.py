@@ -118,6 +118,26 @@ def _path_contains(path, name: str) -> bool:
     return any(getattr(p, "key", None) == name for p in path)
 
 
+def _dp_shardings(mesh):
+    """(batch, replicated) NamedShardings for data-parallel training: the
+    leading batch axis over the mesh's 'data' axis, everything else
+    replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from vdn.parallel.mesh import DATA_AXIS
+    return (NamedSharding(mesh, PartitionSpec(DATA_AXIS)),
+            NamedSharding(mesh, PartitionSpec()))
+
+
+def _pin_batch(mesh, *arrays):
+    """Re-assert the data-parallel layout inside the jitted step so GSPMD
+    cannot drift activations off the batch axis."""
+    if mesh is None:
+        return arrays
+    batch_s, _ = _dp_shardings(mesh)
+    return tuple(jax.lax.with_sharding_constraint(a, batch_s)
+                 for a in arrays)
+
+
 class RefineTrainer:
     """v4 refinement training: model(input_depths) vs GT disparity."""
 
@@ -126,7 +146,7 @@ class RefineTrainer:
                  alpha: float = 0.5, stable_scale: float = 10.0,
                  ssim_loss_scale: float = 0.0,
                  freeze_temporal_head: bool = True,
-                 weight_decay: float = 0.01):
+                 weight_decay: float = 0.01, mesh=None):
         self.model = model
         self.loss_kwargs = dict(alpha=alpha, stable_scale=stable_scale,
                                 ssim_loss_scale=ssim_loss_scale)
@@ -142,9 +162,25 @@ class RefineTrainer:
             tx = optax.multi_transform(
                 {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
         self.tx = tx
-        self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0,))
-        self._eval_step = jax.jit(self._eval_step_impl)
+        self.mesh = mesh
+        if mesh is None:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0,))
+            self._eval_step = jax.jit(self._eval_step_impl)
+        else:
+            # SPMD data parallelism, the reference's DDP
+            # (scripts/train_v4.py:443-470): batch pinned to the mesh's
+            # 'data' axis, params/opt replicated; XLA inserts the gradient
+            # all-reduce over ICI.
+            batch_s, rep = _dp_shardings(mesh)
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0,),
+                in_shardings=(rep, batch_s, batch_s, batch_s),
+                out_shardings=(rep, rep))
+            self._eval_step = jax.jit(
+                self._eval_step_impl,
+                in_shardings=(rep, batch_s, batch_s, batch_s),
+                out_shardings=rep)
 
     def init_state(self, params) -> TrainState:
         return TrainState(params=params, opt_state=self.tx.init(params),
@@ -158,6 +194,8 @@ class RefineTrainer:
 
     def _train_step_impl(self, state: TrainState, input_depths, gt_depths,
                          masks):
+        input_depths, gt_depths, masks = _pin_batch(
+            self.mesh, input_depths, gt_depths, masks)
         gt_disp = 1.0 / jnp.clip(gt_depths, 1e-8, None)
         (_, loss_dict), grads = jax.value_and_grad(
             self._loss, has_aux=True)(state.params, input_depths, gt_disp,
