@@ -18,15 +18,22 @@ def _interpret(monkeypatch):
     ctx.__exit__(None, None, None)
 
 
+def _no_pallas(presize):
+    return [(presize, "supports", lambda *a, **k: False),
+            (presize, "supports_rows", lambda *a, **k: False)]
+
+
 def _ref(x, out_hw, method, align_corners):
-    # take path, pallas disabled
+    # take path, both pallas kernels disabled
     import vdn.ops.pallas.resize as presize
-    orig = presize.supports
-    presize.supports = lambda *a, **k: False
+    saved = [(o, n, getattr(o, n)) for o, n, _ in _no_pallas(presize)]
+    for o, n, f in _no_pallas(presize):
+        setattr(o, n, f)
     try:
         return np.asarray(vresize.resize2d(x, out_hw, method, align_corners))
     finally:
-        presize.supports = orig
+        for o, n, f in saved:
+            setattr(o, n, f)
 
 
 @pytest.mark.parametrize("in_hw,out_hw,method,ac", [
@@ -54,12 +61,14 @@ def test_grad_matches_take_path():
     g_pallas = np.asarray(jax.grad(loss_pallas)(x))
 
     import vdn.ops.pallas.resize as presize
-    orig = presize.supports
-    presize.supports = lambda *a, **k: False
+    saved = [(o, n, getattr(o, n)) for o, n, _ in _no_pallas(presize)]
+    for o, n, f in _no_pallas(presize):
+        setattr(o, n, f)
     try:
         g_ref = np.asarray(jax.grad(loss_pallas)(x))
     finally:
-        presize.supports = orig
+        for o, n, f in saved:
+            setattr(o, n, f)
     np.testing.assert_allclose(g_pallas, g_ref, rtol=1e-5, atol=1e-5)
 
 
@@ -69,3 +78,36 @@ def test_unsupported_small_channel_falls_back():
                     jnp.float32)
     out = vresize.resize2d(x, (16, 16), "bilinear", True)
     assert out.shape == (2, 16, 16, 1)
+
+
+def test_rows_kernel_matches_take_path():
+    """The H-axis outer-row kernel (resize_rows) fwd + bwd vs take path."""
+    import vdn.ops.pallas.resize as presize
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 21, 24, 128)), jnp.float32)
+    idx_taken = []
+    orig = presize.supports_rows
+    presize.supports_rows = lambda *a, **k: (idx_taken.append(1),
+                                             orig(*a, **k))[1]
+    try:
+        ref = _ref(x, (37, 40), "bilinear", True)
+        got = np.asarray(vresize.resize2d(x, (37, 40), "bilinear", True))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+        assert idx_taken, "rows path was never consulted"
+
+        def loss(x):
+            return jnp.sum(vresize.resize2d(x, (37, 40), "bilinear",
+                                            True) ** 2)
+
+        g_rows = np.asarray(jax.grad(loss)(x))
+    finally:
+        presize.supports_rows = orig
+    saved = [(o, n, getattr(o, n)) for o, n, _ in _no_pallas(presize)]
+    for o, n, f in _no_pallas(presize):
+        setattr(o, n, f)
+    try:
+        g_ref = np.asarray(jax.grad(loss)(x))
+    finally:
+        for o, n, f in saved:
+            setattr(o, n, f)
+    np.testing.assert_allclose(g_rows, g_ref, rtol=1e-5, atol=1e-5)

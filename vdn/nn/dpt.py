@@ -57,9 +57,14 @@ class FeatureFusionBlock(nn.Module):
                                name="resConfUnit2")(out)
         if size is None:
             size = (out.shape[-3] * 2, out.shape[-2] * 2)
-        out = resize2d(out, size, "bilinear", align_corners=True)
-        return Conv2d(self.features, (1, 1), padding=0,
-                      param_dtype=self.param_dtype, name="out_conv")(out)
+        # out_conv (1x1) commutes exactly with bilinear interpolation (the
+        # resize is per-channel linear with align-corners weights summing
+        # to 1, so conv(resize(x)) == resize(conv(x)) incl. the bias);
+        # applying it BEFORE the upsample quarters its FLOPs vs the
+        # reference order (util/blocks.py:134-148)
+        out = Conv2d(self.features, (1, 1), padding=0,
+                     param_dtype=self.param_dtype, name="out_conv")(out)
+        return resize2d(out, size, "bilinear", align_corners=True)
 
 
 class Scratch(nn.Module):

@@ -124,6 +124,91 @@ def resize_mid_axis(x: jnp.ndarray, idx: np.ndarray, w: np.ndarray,
                                  plan_key)
 
 
+def _rows_kernel(x_ref, o_ref, *, plan):
+    """Static-unrolled tap blend over the OUTER row dim.
+
+    x block [1, R_in, TW, C]; rows live on an untiled dim, so x_ref[0, i]
+    is a VMEM address offset — no relayout, unlike putting R on sublanes
+    for a matmul.  ``plan`` is a trace-time tuple of (row -> ((idx, w),
+    ...)) entries baked in as immediates."""
+    for o, taps in enumerate(plan):
+        (i0, w0), *rest = taps
+        acc = x_ref[0, i0].astype(jnp.float32) * w0
+        for i, w in rest:
+            acc += x_ref[0, i].astype(jnp.float32) * w
+        o_ref[0, o] = acc.astype(o_ref.dtype)
+
+
+# compile-time guard: the kernel body unrolls out_size * taps statements
+_ROWS_MAX_OUT = 1024
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "plan"))
+def _resize_rows_impl(x, out_size: int, plan):
+    n, r_in, wdim, c = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    # chunk W so the [R_in, TW, C] input block (+ the output block,
+    # double-buffered) fits the VMEM budget
+    # tw (2nd-to-last block dim) must be a multiple of 8 or the full W
+    tw = wdim
+    while tw > 8 and 2 * (r_in + out_size) * tw * c * itemsize \
+            > _VMEM_BUDGET:
+        tw = -(-tw // 16) * 8
+    grid = (n, pl.cdiv(wdim, tw))
+    return pl.pallas_call(
+        functools.partial(_rows_kernel, plan=plan),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, r_in, tw, c), lambda i, j: (i, 0, j, 0))],
+        out_specs=pl.BlockSpec((1, out_size, tw, c),
+                               lambda i, j: (i, 0, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, out_size, wdim, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * out_size * wdim * c * max(
+                len(t) for t in plan),
+            bytes_accessed=(n * r_in + n * out_size) * wdim * c * itemsize,
+            transcendentals=0),
+    )(x)
+
+
+def resize_rows(x: jnp.ndarray, idx: np.ndarray, w: np.ndarray,
+                out_size: int) -> jnp.ndarray:
+    """x [N, R_in, W, C] -> [N, out_size, W, C]: per-row tap blend on the
+    H (outer) axis, keeping NHWC layout so neither pass of a separable
+    resize needs the ~6 ms/window inter-pass relayout the flattened
+    [N, R, M] matmul kernel forces (trace 2026-08-17: reshape.307)."""
+    idx = np.asarray(idx)
+    w = np.asarray(w)
+    plan = []
+    for o in range(out_size):
+        taps = {}
+        for t in range(idx.shape[1]):
+            if w[o, t] != 0.0:
+                i = int(idx[o, t])
+                taps[i] = taps.get(i, 0.0) + float(w[o, t])
+        if not taps:  # degenerate all-zero row (clipped border)
+            taps = {int(idx[o, 0]): 0.0}
+        plan.append(tuple(sorted(taps.items())))
+    return _resize_rows_impl(x, out_size, tuple(plan))
+
+
+def supports_rows(x_shape: Tuple[int, ...], axis: int, idx: np.ndarray,
+                  out_size: int, dtype) -> bool:
+    """Whether resize_rows handles this (H-axis, NHWC) resize."""
+    if len(x_shape) < 3 or axis != len(x_shape) - 3:
+        return False
+    if out_size > _ROWS_MAX_OUT or idx.shape[1] > 4:
+        return False
+    wdim, c = x_shape[-2], x_shape[-1]
+    if c % 128 != 0 or wdim < 8:
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    # smallest chunk (tw=8) must fit
+    return 2 * (x_shape[axis] + out_size) * 8 * c * itemsize <= _VMEM_BUDGET
+
+
 def select_rows(x: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """x [N, R, M] x (traced) weights [S, R] -> [N, S, M].
 

@@ -174,6 +174,31 @@ def _pallas_resize_bwd(axis, out_size, plan, in_size, g):
 _pallas_resize.defvjp(_pallas_resize_fwd, _pallas_resize_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pallas_resize_h(x, out_size: int, plan):
+    """H-axis (ndim-3) resize via the outer-row tap-blend kernel — keeps
+    NHWC layout through both separable passes (no inter-pass relayout)."""
+    from vdn.ops.pallas import resize as presize
+    idx, w = plan[0].arr, plan[1].arr
+    lead = x.shape[:-3]
+    n = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    y = presize.resize_rows(x.reshape(n, *x.shape[-3:]), idx, w, out_size)
+    return y.reshape(*lead, out_size, *x.shape[-2:])
+
+
+def _pallas_resize_h_fwd(x, out_size, plan):
+    return _pallas_resize_h(x, out_size, plan), x.shape[-3]
+
+
+def _pallas_resize_h_bwd(out_size, plan, in_size, g):
+    idx_t, w_t = _transpose_plan(plan[0].arr, plan[1].arr, in_size)
+    return (_pallas_resize_h(g, in_size,
+                             (_HashableArray(idx_t), _HashableArray(w_t))),)
+
+
+_pallas_resize_h.defvjp(_pallas_resize_h_fwd, _pallas_resize_h_bwd)
+
+
 def _apply_axis(x: jnp.ndarray, axis: int, out_size: int, method: str,
                 align_corners: bool, scale: Optional[float]) -> jnp.ndarray:
     in_size = x.shape[axis]
@@ -193,6 +218,9 @@ def _apply_axis(x: jnp.ndarray, axis: int, out_size: int, method: str,
             _FORCE_PALLAS or jax.default_backend() == "tpu"):
         from vdn.ops.pallas import resize as presize
         ax = axis if axis >= 0 else x.ndim + axis
+        if presize.supports_rows(x.shape, ax, idx, out_size, x.dtype):
+            return _pallas_resize_h(x, out_size,
+                                    (_HashableArray(idx), _HashableArray(w)))
         if presize.supports(x.shape, ax, idx, x.dtype):
             # idx/w are hashable plan constants (trace-time numpy)
             return _pallas_resize(x, ax, out_size,
