@@ -54,6 +54,31 @@ def test_fused_qkv_bthd_matches_xla(t, h, d):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_bf16_exp_drift_bounded(monkeypatch):
+    """The bf16-exp fast softmax (env-gated, default off; taken only when
+    V is bf16 — see _softmax_rows) must stay within the rounding already
+    implied by the bf16 AV matmul: vs an fp32 XLA softmax+matmul
+    reference, the bf16 kernel's extra error over a plain bf16 XLA path
+    must be the same order (<=2x), and absolute drift <=6e-3 for
+    unit-normal inputs."""
+    monkeypatch.setattr(fa, "_BF16_EXP", True)
+    rng = np.random.default_rng(5)
+    qkv32 = rng.standard_normal((2, 290, 3, 4, 32)).astype(np.float32)
+    qkv16 = jnp.asarray(qkv32, jnp.bfloat16)
+    q, k, v = qkv32[:, :, 0], qkv32[:, :, 1], qkv32[:, :, 2]
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), 32 ** -0.5))
+    xla16 = np.asarray(_xla_attention(qkv16[:, :, 0], qkv16[:, :, 1],
+                                      qkv16[:, :, 2], 32 ** -0.5),
+                       np.float32)
+    got = np.asarray(fa.flash_attention_fused_qkv(qkv16, None, 128),
+                     np.float32)
+    flash_err = np.abs(got - ref).max()
+    xla_err = np.abs(xla16 - ref).max()
+    assert flash_err <= max(2 * xla_err, 1e-3), (flash_err, xla_err)
+    assert flash_err <= 6e-3
+
+
 @pytest.mark.parametrize("t,h,d", [(300, 3, 64), (130, 2, 32)])
 def test_qkv_fused_matches_xla(t, h, d):
     rng = np.random.default_rng(1)

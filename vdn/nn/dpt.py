@@ -135,14 +135,22 @@ class Scratch(nn.Module):
         # fp32-accumulation island (cf. reference dpt_temporal.py:108-110):
         # compute-dtype operands, fp32 accumulator + fp32 activations from
         # here to the output (see the output_conv2_0 note in setup)
+        act = jax.nn.sigmoid if self.sigmoid_output else jax.nn.relu
+        o_ch = 32
+        if 128 % o_ch == 0 and 128 // o_ch > 1:
+            # lane-packed island: N=32 output channels use 25% of the MXU
+            # and force a full-res fp32 intermediate; see
+            # vdn/ops/packed_conv.py
+            from vdn.ops.packed_conv import packed_island_head
+            w1, b1 = self.output_conv2_0(out, params_only=True)
+            w2, b2 = self.output_conv2_2(
+                jnp.zeros(out.shape[:-1] + (o_ch,), out.dtype),
+                params_only=True)
+            return packed_island_head(out, w1, b1, w2[0, 0], b2, act), feat
         y = self.output_conv2_0(out)
         y = jax.nn.relu(y)
         y = self.output_conv2_2(y)
-        if self.sigmoid_output:
-            y = jax.nn.sigmoid(y)
-        else:
-            y = jax.nn.relu(y)
-        return y, feat
+        return act(y), feat
 
 
 class DPTHead(nn.Module):

@@ -20,9 +20,10 @@ Dtype = Any
 
 
 def _conv_nhwc(x, kernel, stride, pad, fgc, accum_dtype):
+    # pad: (ph, pw) symmetric ints, or ((lo, hi), (lo, hi)) explicit
+    padding = [p if isinstance(p, tuple) else (p, p) for p in pad]
     return lax.conv_general_dilated(
-        x, kernel, window_strides=stride,
-        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+        x, kernel, window_strides=stride, padding=padding,
         feature_group_count=fgc,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=accum_dtype)
@@ -73,7 +74,7 @@ class Conv2d(nn.Module):
     accum_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         kh, kw = self.kernel_size
         in_ch = x.shape[-1]
         kernel = self.param(
@@ -81,6 +82,11 @@ class Conv2d(nn.Module):
             nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             (kh, kw, in_ch // self.feature_group_count, self.features),
             self.param_dtype)
+        if params_only:  # expose raw params to fused/packed callers
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype) \
+                if self.use_bias else None
+            return kernel, bias
         pad = self.padding if isinstance(self.padding, tuple) else (
             self.padding, self.padding)
         conv = _conv_nhwc_accum if (

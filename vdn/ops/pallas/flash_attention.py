@@ -41,6 +41,33 @@ from jax.experimental.pallas import tpu as pltpu
 # (isolated microbenches disagree with in-model ordering here).
 import os as _os
 DEFAULT_BLOCK_Q = int(_os.environ.get("VDN_FLASH_BLOCK_Q", "704"))
+# bf16-exp experiment (default OFF): the per-layer trace suggested the
+# forward was softmax-VPU-bound, so computing exp over bf16-rounded
+# shifted logits (two lanes per VPU op; probabilities feed a bf16 AV
+# matmul anyway; row sum still f32) looked like a win — but the honest
+# in-model A/B (2026-08-17, vitl 518 flagship, slope method) measured
+# 77.32 fps ON vs 77.74 fps OFF: the cast traffic cancels the packed
+# exp.  Kept behind the env knob for re-testing on other chips; GATED on
+# the value dtype so fp32-precision callers always get exact f32
+# softmax (tests/test_flash_attention.py::test_bf16_exp_drift_bounded
+# bounds the ON-path drift).
+_BF16_EXP = _os.environ.get("VDN_FLASH_BF16_EXP", "0") != "0"
+
+
+def _softmax_rows(s, axis, v_dtype):
+    """exp/sum of shifted logits; returns (p, l f32).
+
+    p is bf16 when ``v_dtype`` is bf16 and VDN_FLASH_BF16_EXP is on
+    (the AV matmul consumes it in bf16 anyway), else f32."""
+    m = jnp.max(s, axis=axis, keepdims=True)
+    t = s - m
+    if _BF16_EXP and v_dtype == jnp.bfloat16:
+        p = jnp.exp(t.astype(jnp.bfloat16))
+        l = jnp.sum(p, axis=axis, keepdims=True, dtype=jnp.float32)
+    else:
+        p = jnp.exp(t)
+        l = jnp.sum(p, axis=axis, keepdims=True)
+    return p, l
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -49,9 +76,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale      # [bq, tk] f32
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    p, l = _softmax_rows(s, axis=1, v_dtype=v_ref.dtype)
     pv = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [bq, d]
@@ -267,9 +292,7 @@ def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         s = jax.lax.dot_general(
             q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [bq, tk] f32
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
+        p, l = _softmax_rows(s, axis=1, v_dtype=v2.dtype)
         pv = jax.lax.dot_general(
             p.astype(v2.dtype), v2[:, sl],
             (((1,), (0,)), ((), ())),
