@@ -59,6 +59,105 @@ def test_context_parallel_video_model_matches(pe):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_ring_pallas_matches_full():
+    """The fused blockwise Pallas ring step (vdn/ops/pallas/
+    ring_attention.py) must reproduce full attention exactly, forward and
+    backward (backward recomputes via the XLA ring under custom_vjp)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdn.ops.attention import _xla_attention
+    from vdn.ops.pallas.ring_attention import ring_attention_pallas
+
+    mesh = make_mesh(data=1, seq=8, model=1)
+    rng = np.random.default_rng(11)
+    n, t, h, d = 8, 64, 2, 32
+    q = rng.standard_normal((n, t, h, d)).astype(np.float32)
+    k = rng.standard_normal((n, t, h, d)).astype(np.float32)
+    v = rng.standard_normal((n, t, h, d)).astype(np.float32)
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), d ** -0.5))
+
+    def local(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return ring_attention_pallas(q, k, v, SEQ_AXIS)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, SEQ_AXIS),) * 3,
+                   out_specs=P(None, SEQ_AXIS), check_vma=False)
+    with mesh:
+        got = np.asarray(jax.jit(fn)(q, k, v))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the custom_vjp (XLA-ring recompute backward)
+    def loss(q, k, v):
+        return jnp.sum(jnp.square(fn(q, k, v)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(_xla_attention(q, k, v, d ** -0.5)))
+
+    with mesh:
+        got_g = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    want_g = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_context_parallel_streaming_decode_matches():
+    """Streaming decode with the KV window SHARDED over seq (the round-2
+    gap: motion.py asserted seq_axis is None whenever a cache was
+    present).  A 3-entry cache zero-padded to 4 shards one entry per
+    device on a seq=4 mesh; cache_len=3 masks the pad; the decoded depth
+    and the new cache entries must match the single-device concat path
+    exactly."""
+    mesh = make_mesh(data=2, seq=4)
+    cfg = dict(encoder="vits", features=32, out_channels=(32, 32, 64, 64),
+               use_flash=False)
+    single = VideoDepthAnything(**cfg)
+    parallel = VideoDepthAnything(**cfg, seq_axis=SEQ_AXIS)
+
+    rng = np.random.default_rng(7)
+    window = rng.standard_normal((1, 3, 56, 56, 3)).astype(np.float32)
+    new = rng.standard_normal((1, 1, 56, 56, 3)).astype(np.float32)
+    params = single.init(jax.random.PRNGKey(0), window[:, :2])
+
+    def run_window(m, x):
+        f = m.forward_features(x)
+        return m.forward_depth(f, x.shape)
+
+    def run_cached(m, x, caches):
+        f = m.forward_features(x)
+        return m.forward_depth(f, x.shape, caches=caches)
+
+    _, caches = single.apply(params, window, method=run_window)
+    ref_depth, ref_new = single.apply(params, new, list(caches),
+                                      method=run_cached)
+
+    padded = tuple(jnp.pad(c, ((0, 0), (0, 1), (0, 0))) for c in caches)
+
+    def local_step(params, x, caches):
+        def run(m, x):
+            f = m.forward_features(x)
+            return m.forward_depth(f, x.shape, caches=list(caches),
+                                   cache_len=3)
+        return parallel.apply(params, x, method=run)
+
+    sharded = shard_map(local_step, mesh=mesh,
+                        in_specs=(P(), P(), P(None, SEQ_AXIS, None)),
+                        out_specs=(P(), P()), check_vma=False)
+    with mesh:
+        got_depth, got_new = jax.jit(sharded)(params, new, padded)
+
+    np.testing.assert_allclose(np.asarray(got_depth),
+                               np.asarray(ref_depth),
+                               rtol=2e-4, atol=2e-4)
+    for g, r in zip(got_new, ref_new):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_ulysses_matches_ring_and_full():
     from vdn.parallel.context import set_cp_mode, ulysses_attention
     mesh = make_mesh(data=1, seq=8)

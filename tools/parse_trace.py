@@ -45,7 +45,14 @@ def main():
         counts = defaultdict(int)
         total = 0.0
         async_total = 0.0
+        modules = defaultdict(float)
+        mod_counts = defaultdict(int)
         for line in plane.lines:
+            if "XLA Modules" in line.name:
+                for ev in line.events:
+                    name = ev_meta[ev.metadata_id].name.split("(")[0]
+                    modules[name] += ev.duration_ps / 1e9
+                    mod_counts[name] += 1
             if "XLA Op" not in line.name and "XLA Ops" not in line.name:
                 continue
             for ev in line.events:
@@ -60,10 +67,9 @@ def main():
                             cat = st.str_value or stats_meta[
                                 st.metadata_id].name
                 base = name.split(".")[0].split("(")[0].lstrip("%")
-                if base.endswith(("copy-start", "async-start", "copy-done",
-                                  "async-done")) or base.startswith(
-                                      ("copy-start", "async-start",
-                                       "copy-done", "async-done")):
+                # *-start ops (copy/async/slice/all-reduce...) span until
+                # their *-done and overlap real compute: bucket separately
+                if ("-start" in base or "-done" in base):
                     async_total += dur
                     continue
                 key = name.split(" = ")[0].lstrip("%")
@@ -75,6 +81,13 @@ def main():
             continue
         print(f"== plane: {plane.name}  compute XLA-op time {total:.2f} ms "
               f"(+ {async_total:.2f} ms async-copy span, overlapped) ==")
+        if modules:
+            print("-- XLA Modules wall (per-execution mean) --")
+            for k, v in sorted(modules.items(), key=lambda kv: -kv[1])[:8]:
+                print(f"{v:10.2f} ms  x{mod_counts[k]:<4d} "
+                      f"(mean {v / mod_counts[k]:8.2f} ms)  {k[:70]}")
+        print("NOTE: 'while' op time includes its body; body ops are also "
+              "counted separately (do not sum categories with 'while').")
         print("-- by category --")
         for k, v in sorted(per_cat.items(), key=lambda kv: -kv[1])[:15]:
             print(f"{v:10.2f} ms  {100*v/total:5.1f}%  {k}")

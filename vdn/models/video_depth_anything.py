@@ -58,13 +58,15 @@ class VideoDepthAnything(nn.Module):
             flat, INTERMEDIATE_LAYER_IDX[self.encoder])
 
     def forward_depth(self, features, x_shape: Tuple[int, ...],
-                      caches: Optional[Sequence[jnp.ndarray]] = None):
+                      caches: Optional[Sequence[jnp.ndarray]] = None,
+                      cache_len: Optional[int] = None):
         """Decode features of T frames into depth [B, T, H, W] (fp32, relu'd)
-        + the new cache pytree. T is the number of *new* frames."""
+        + the new cache pytree. T is the number of *new* frames.
+        ``cache_len``: see DPTHeadTemporal (context-parallel streaming)."""
         b, t, h, w, _ = x_shape
         patch_h, patch_w = h // 14, w // 14
         depth, new_caches = self.head(features, patch_h, patch_w, t,
-                                      caches=caches)
+                                      caches=caches, cache_len=cache_len)
         depth = resize2d(depth, (h, w), "bilinear", align_corners=True)
         depth = jax.nn.relu(depth.astype(jnp.float32))
         return depth[..., 0].reshape(b, t, h, w), new_caches

@@ -80,6 +80,14 @@ class TemporalAttention(nn.Module):
     queried while keys/values span cache + new (reference
     attention.py:245-326).
     Returns (output [(B*T_new), N, C], cache_entry [B*N, T_new, C]).
+
+    Context-parallel streaming (cache + seq_axis): the cache argument is
+    each device's LOCAL shard of the KV window (sharded along T_cache);
+    the new frames are replicated.  ``cache_len`` gives the number of
+    logically valid entries across the whole axis (trailing shards may
+    be zero-padding so the window length divides the axis size); the
+    softmax combines exactly across devices via
+    vdn.parallel.context.distributed_kv_attention.
     """
     query_dim: int
     heads: int = 8
@@ -90,7 +98,8 @@ class TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states: jnp.ndarray, video_length: int,
-                 cache: Optional[jnp.ndarray] = None):
+                 cache: Optional[jnp.ndarray] = None,
+                 cache_len: Optional[int] = None):
         bt, n, c = hidden_states.shape
         t_new = video_length
         b = bt // t_new
@@ -99,10 +108,12 @@ class TemporalAttention(nn.Module):
         x = x.reshape(b * n, t_new, c)
         cache_entry = x
 
+        if cache is not None and self.seq_axis is not None:
+            return self._cached_cp(x, cache, cache_len, b, n, t_new, c), \
+                cache_entry
+
         d_in = 0
         if cache is not None:
-            assert self.seq_axis is None, \
-                "streaming decode is single-shard (T=1 per step)"
             d_in = cache.shape[1]
             x = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
         t_total = d_in + t_new
@@ -172,6 +183,57 @@ class TemporalAttention(nn.Module):
         out = out.reshape(b * t_new, n, c)
         return out, cache_entry
 
+    def _cached_cp(self, x_new, cache, cache_len, b, n, t_new, c):
+        """Streaming decode with the KV window sharded over seq_axis.
+
+        x_new [B*N, t_new, C] replicated; cache [B*N, d_local, C] local
+        shard.  Columns beyond ``cache_len`` (zero padding so the window
+        divides the axis) and the new-frame KV on every device but the
+        last are masked out of the softmax, so the math equals the
+        single-device concat path exactly."""
+        assert self.pos_embedding_type == "ape", \
+            "CP streaming decode supports APE (rope has no cache mode)"
+        axis = self.seq_axis
+        p = jax.lax.axis_size(axis)
+        d_local = cache.shape[1]
+        cl = cache_len if cache_len is not None else p * d_local
+        my = jax.lax.axis_index(axis)
+        idx = my * d_local + jnp.arange(d_local)
+
+        pe = jnp.asarray(sinusoidal_positional_encoding(
+            self.query_dim, self.temporal_max_len))
+        cache_pe = pe[jnp.minimum(idx, self.temporal_max_len - 1)]
+        new_pe = pe[cl:cl + t_new]
+        xq = x_new + new_pe[None].astype(x_new.dtype)
+        kv_in = jnp.concatenate(
+            [cache.astype(x_new.dtype) + cache_pe[None].astype(x_new.dtype),
+             xq], axis=1)  # [B*N, d_local + t_new, C]
+
+        query = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_q")(xq)
+        key = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                     name="to_k")(kv_in)
+        value = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_v")(kv_in)
+
+        neg = jnp.float32(-1e30)
+        bias = jnp.concatenate([
+            jnp.where(idx < cl, jnp.float32(0), neg),
+            jnp.where(my == p - 1, jnp.float32(0), neg)
+            * jnp.ones((t_new,), jnp.float32)])
+
+        from vdn.parallel.context import distributed_kv_attention
+        h, dh = self.heads, c // self.heads
+        out = distributed_kv_attention(
+            query.reshape(b * n, t_new, h, dh),
+            key.reshape(b * n, d_local + t_new, h, dh),
+            value.reshape(b * n, d_local + t_new, h, dh), axis, bias)
+        out = out.reshape(b * n, t_new, c)
+        out = Linear(self.query_dim, param_dtype=self.param_dtype,
+                     name="to_out_0")(out)
+        out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
+        return out.reshape(b * t_new, n, c)
+
 
 class TemporalTransformerBlock(nn.Module):
     dim: int
@@ -184,7 +246,8 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, video_length: int,
-                 caches: Optional[Sequence[jnp.ndarray]] = None):
+                 caches: Optional[Sequence[jnp.ndarray]] = None,
+                 cache_len: Optional[int] = None):
         out_caches = []
         for i in range(self.num_attention_blocks):
             y = LayerNorm(param_dtype=self.param_dtype, name=f"norms_{i}")(x)
@@ -193,7 +256,7 @@ class TemporalTransformerBlock(nn.Module):
                 self.pos_embedding_type, self.param_dtype, self.seq_axis,
                 name=f"attention_blocks_{i}")(
                     y, video_length,
-                    caches[i] if caches is not None else None)
+                    caches[i] if caches is not None else None, cache_len)
             x = y + x
             out_caches.append(cache_entry)
         y = LayerNorm(param_dtype=self.param_dtype, name="ff_norm")(x)
@@ -217,7 +280,8 @@ class TemporalTransformer3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, video_length: int,
-                 caches: Optional[Sequence[jnp.ndarray]] = None):
+                 caches: Optional[Sequence[jnp.ndarray]] = None,
+                 cache_len: Optional[int] = None):
         # x: [(B*T_new), H, W, C]
         bt, hh, ww, c = x.shape
         residual = x
@@ -236,7 +300,7 @@ class TemporalTransformer3D(nn.Module):
                 name=f"transformer_blocks_{i}")(
                     y, video_length,
                     caches[i * n_per:(i + 1) * n_per]
-                    if caches is not None else None)
+                    if caches is not None else None, cache_len)
             out_caches.extend(blk_caches)
 
         # zero-initialized so the temporal mixer starts as identity
@@ -263,11 +327,13 @@ class TemporalModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, video_length: int,
-                 caches: Optional[Sequence[jnp.ndarray]] = None):
+                 caches: Optional[Sequence[jnp.ndarray]] = None,
+                 cache_len: Optional[int] = None):
         return TemporalTransformer3D(
             self.in_channels, self.num_attention_heads,
             self.num_transformer_block, self.num_attention_blocks,
             temporal_max_len=self.temporal_max_len,
             pos_embedding_type=self.pos_embedding_type,
             param_dtype=self.param_dtype, seq_axis=self.seq_axis,
-            name="temporal_transformer")(x, video_length, caches)
+            name="temporal_transformer")(x, video_length, caches,
+                                         cache_len)

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vdn.parallel.mesh import DATA_AXIS, SEQ_AXIS
 
 __all__ = ["ring_attention", "sequence_position_offset",
-           "make_context_parallel_forward"]
+           "make_context_parallel_forward", "distributed_kv_attention"]
 
 
 def sequence_position_offset(axis_name: str, t_local: int) -> jnp.ndarray:
@@ -73,6 +73,42 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                       None, length=p)
     out = (o / l).astype(q.dtype)
     return out.transpose(0, 2, 1, 3)  # [B, Tq, H, D]
+
+
+def distributed_kv_attention(q: jnp.ndarray, k: jnp.ndarray,
+                             v: jnp.ndarray, axis_name: str,
+                             bias: Optional[jnp.ndarray] = None,
+                             scale: Optional[float] = None) -> jnp.ndarray:
+    """Attention with REPLICATED queries over K/V sharded on axis_name.
+
+    The context-parallel *streaming decode* primitive (the clip path uses
+    ring_attention): each device scores its local K/V shard, then the
+    softmax statistics combine exactly across the axis with one
+    pmax + two psums — no ring needed because Tq is tiny (1-8 new
+    frames per step).
+
+    q: [B, Tq, H, D] (identical on every device of the axis);
+    k/v: [B, Tc_local, H, D] local shards; bias: [Tc_local] logit bias
+    (use a large negative to mask padded or cross-device-duplicate
+    columns).  Math matches full attention over the concatenated column
+    axis exactly (fp32 softmax statistics).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if bias is not None:
+        s = s + bias[None, None, None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bkhd->bhqd", p,
+                   v.astype(jnp.float32))
+    m_g = jax.lax.pmax(m, axis_name)
+    corr = jnp.exp(m - m_g)
+    l_g = jax.lax.psum(l * corr, axis_name)
+    o_g = jax.lax.psum(o * corr, axis_name) / l_g
+    return o_g.astype(q.dtype).transpose(0, 2, 1, 3)  # [B, Tq, H, D]
 
 
 def make_context_parallel_forward(model, mesh: Mesh):
@@ -125,13 +161,17 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jax.lax.all_to_all(out, axis_name, 1, 0, tiled=True)
 
 
-# default context-parallel attention flavor ("ring" | "alltoall")
-_CP_MODE = "ring"
+# default context-parallel attention flavor
+# ("ring" | "alltoall" | "ring_pallas" — the fused blockwise step kernel,
+#  vdn/ops/pallas/ring_attention.py; override via VDN_CP_MODE)
+import os as _os
+
+_CP_MODE = _os.environ.get("VDN_CP_MODE", "ring")
 
 
 def set_cp_mode(mode: str):
     global _CP_MODE
-    assert mode in ("ring", "alltoall")
+    assert mode in ("ring", "alltoall", "ring_pallas")
     globals()["_CP_MODE"] = mode
 
 
@@ -140,4 +180,7 @@ def cp_attention(q, k, v, axis_name: str,
     """Dispatch to the configured context-parallel attention flavor."""
     if _CP_MODE == "alltoall":
         return ulysses_attention(q, k, v, axis_name, scale)
+    if _CP_MODE == "ring_pallas":
+        from vdn.ops.pallas.ring_attention import ring_attention_pallas
+        return ring_attention_pallas(q, k, v, axis_name, scale)
     return ring_attention(q, k, v, axis_name, scale)
