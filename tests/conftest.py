@@ -26,5 +26,19 @@ jax.config.update("jax_platforms", "cpu")
 # TPU code keeps the default (bf16 compute is the deliberate policy).
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the trainer/pipeline tests compile the
+# same train-step HLO repeatedly (fresh trainer instances, suite chunks,
+# reruns).  Keyed on the serialized module, so identical steps hit disk
+# instead of re-running XLA:CPU optimization (~minutes each).  Disable
+# with VDN_TEST_JAX_CACHE=0.
+_cache = os.environ.get(
+    "VDN_TEST_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+if _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices"
