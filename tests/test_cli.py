@@ -156,6 +156,98 @@ def test_train_cli_with_resume(tmp_path):
     main(common + ["--epochs", "2", "--resume"])
 
 
+def test_master_config_overlay(tmp_path):
+    """The reference's legacy master config switchboard (reference
+    configs/config.yaml:1-213 — which nothing in the reference actually
+    loads) is live in vdn: --config sets defaults, enabled: selects
+    datasets, explicit flags still win."""
+    import argparse
+    import yaml
+
+    from vdn.core.config import (enabled_datasets, load_master_config,
+                                 overlay_args)
+
+    master = {
+        "experiment": {"name": "exp-a"},
+        "wandb": {"enabled": False},
+        "environment": {"seed": 7},
+        "model": {"version": "v2", "encoder_model": "hiera_test",
+                  "attention_feature_levels": [3],
+                  "prediction_mode": "depth"},
+        "loss_weights": {"affine_invariant": 1.0, "tgm_loss": 2.0,
+                         "normal_l1": 0.25, "depth_ssim": 0.0},
+        "training": {"batch_size": 3, "learning_rate": 5e-4,
+                     "num_epochs": 9, "eval_interval": 4,
+                     "save_model_interval": 2},
+        "datasets": {"Sintel": {"enabled": True, "train_split": 0.5,
+                                "params": {"root_dir": "/nowhere"}},
+                     "VKitti": {"enabled": False, "train_split": 0.5,
+                                "params": {"root_dir": "/nowhere"}}},
+    }
+    path = tmp_path / "master.yaml"
+    path.write_text(yaml.safe_dump(master))
+    cfg = load_master_config(str(path))
+    assert enabled_datasets(cfg) == ["Sintel"]
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run-name", default=None)
+    parser.add_argument("--use-wandb", action="store_true")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--encoder", default="hiera_base_224")
+    parser.add_argument("--attention-levels", default="2,3")
+    parser.add_argument("--use-residual", action="store_true", default=True)
+    parser.add_argument("--stable-scale", type=float, default=0.0)
+    parser.add_argument("--normal-loss-scale", type=float, default=0.0)
+    parser.add_argument("--batch-size", type=int, default=6)
+    parser.add_argument("--initial-lr", type=float, default=1e-4)
+    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--val-interval", type=int, default=1)
+    parser.add_argument("--save-interval", type=int, default=1)
+    overlay_args(parser, cfg, "v1")
+    # explicit flag wins over the config value
+    args = parser.parse_args(["--batch-size", "11"])
+    assert args.run_name == "exp-a" and args.seed == 7
+    assert args.encoder == "hiera_test"
+    assert args.attention_levels == "3"
+    assert args.use_residual is False      # prediction_mode: depth
+    assert args.stable_scale == 2.0        # tgm_loss
+    assert args.normal_loss_scale == 0.25  # normal_l1
+    assert args.initial_lr == 5e-4 and args.epochs == 9
+    assert args.val_interval == 4 and args.save_interval == 2
+    assert args.batch_size == 11           # CLI override
+
+    # the dead "v1 -> dino" reference switch raises with a pointer
+    cfg_v1 = dict(cfg, model={"version": "v1"})
+    with pytest.raises(ValueError, match="dead in"):
+        overlay_args(parser, cfg_v1, "v1")
+
+
+def test_train_cli_master_config(tmp_path):
+    """Drive the refine CLI end-to-end from a master config alone: the
+    datasets: section doubles as the factory config, training: values
+    become defaults."""
+    import yaml
+
+    fixture_cfg = yaml.safe_load(_make_sintel_fixture(tmp_path).read_text())
+    master = {
+        "model": {"version": 4, "encoder_model": "vits"},
+        "training": {"batch_size": 1, "num_epochs": 1,
+                     "eval_interval": 99, "save_model_interval": 1},
+        "loss_weights": {"affine_invariant": 1.0, "tgm_loss": 10.0},
+        "logging": {"checkpoint_dir": str(tmp_path / "ckpts"),
+                    "log_dir": str(tmp_path / "logs")},
+        "datasets": {"Sintel": dict(fixture_cfg["datasets"]["Sintel"],
+                                    enabled=True)},
+        "dataset_common": fixture_cfg["dataset_common"],
+    }
+    master_path = tmp_path / "master.yaml"
+    master_path.write_text(yaml.safe_dump(master))
+
+    from vdn.cli.train import main
+    main(["--config", str(master_path), "--compute-dtype", "fp32"])
+    assert any((tmp_path / "ckpts" / "refine_v4").iterdir())
+
+
 def test_train_v1_cli_with_eval_and_resume(tmp_path):
     """Drive the v1 harness end-to-end (reference scripts/train.py:413-530):
     train + validate-per-epoch + async checkpoint, then --resume — the

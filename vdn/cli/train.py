@@ -16,8 +16,14 @@ import numpy as np
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="vdn refinement training")
-    parser.add_argument("--dataset-config", type=str, required=True)
-    parser.add_argument("--datasets", nargs="+", default=["Sintel"])
+    parser.add_argument("--config", type=str, default=None,
+                        help="master experiment config (the reference "
+                        "configs/config.yaml switchboard, made live): "
+                        "its values become the defaults below, explicit "
+                        "flags still win, and its datasets: section "
+                        "drives --datasets/--dataset-config")
+    parser.add_argument("--dataset-config", type=str, default=None)
+    parser.add_argument("--datasets", nargs="+", default=None)
     parser.add_argument("--encoder", default="vitl",
                         choices=["vits", "vitl"])
     parser.add_argument("--model-version", type=int, default=4)
@@ -54,7 +60,8 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--compute-dtype", default="bf16",
                         choices=["fp32", "bf16"])
-    args = parser.parse_args(argv)
+    from vdn.cli._common import parse_with_master_config
+    args = parse_with_master_config(parser, argv, family="refine")
 
     import jax
     if args.debug_nans:

@@ -21,8 +21,14 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser(description="vdn v1 depth+normal "
                                      "training")
-    parser.add_argument("--dataset-config", type=str, required=True)
-    parser.add_argument("--datasets", nargs="+", default=["Sintel"])
+    parser.add_argument("--config", type=str, default=None,
+                        help="master experiment config (the reference "
+                        "configs/config.yaml switchboard, made live): "
+                        "its values become the defaults below, explicit "
+                        "flags still win, and its datasets: section "
+                        "drives --datasets/--dataset-config")
+    parser.add_argument("--dataset-config", type=str, default=None)
+    parser.add_argument("--datasets", nargs="+", default=None)
     parser.add_argument("--encoder", default="hiera_base_224",
                         help="hub-MAE names (hiera_*_224) or SAM2 hieradet "
                         "names (hiera_tiny, ...)")
@@ -53,7 +59,8 @@ def main(argv=None):
     parser.add_argument("--debug-nans", action="store_true",
                         help="numeric sanitizer: jax_debug_nans + finite-"
                         "loss guard per step")
-    args = parser.parse_args(argv)
+    from vdn.cli._common import parse_with_master_config
+    args = parse_with_master_config(parser, argv, family="v1")
 
     import jax
     if args.debug_nans:
