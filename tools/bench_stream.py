@@ -18,8 +18,10 @@ import numpy as np
 
 
 def main():
-    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    trace = "--trace" in sys.argv
+    argv = [a for a in sys.argv if a != "--trace"]
+    chunk = int(argv[1]) if len(argv) > 1 else 8
+    n_frames = int(argv[2]) if len(argv) > 2 else 64
     from vdn.models.video_depth_anything import build_video_depth_anything
     from vdn.pipelines.stream import VideoDepthStreamPipeline
 
@@ -35,6 +37,17 @@ def main():
     # warmup: first frame + one full chunk + one tail-size compile
     pipe.infer_video_depth_chunk(list(frames[:1 + chunk]))
     done = 1 + chunk
+
+    if trace:
+        # capture ONE warmed chunk dispatch for tools/parse_trace.py
+        # (op-level breakdown of jit_step_k; >1 large dispatch under the
+        # profiler hangs the axon tunnel — see CLAUDE.md)
+        with jax.profiler.trace("profiles/stream"):
+            out = pipe.infer_video_depth_chunk(
+                list(frames[done:done + chunk]))
+            done += chunk
+            np.asarray(out[-1])
+        print("trace written to profiles/stream")
 
     t0 = time.perf_counter()
     count = 0

@@ -20,6 +20,7 @@ consumes the same number from the previous window.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, List, Optional, Sequence
 
@@ -111,6 +112,9 @@ class TemporalAttention(nn.Module):
         if cache is not None and self.seq_axis is not None:
             return self._cached_cp(x, cache, cache_len, b, n, t_new, c), \
                 cache_entry
+        if cache is not None and self.pos_embedding_type == "ape":
+            return self._cached_local(x, cache, b, n, t_new, c), \
+                cache_entry
 
         d_in = 0
         if cache is not None:
@@ -182,6 +186,56 @@ class TemporalAttention(nn.Module):
         out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
         out = out.reshape(b * t_new, n, c)
         return out, cache_entry
+
+    def _cached_local(self, x_new, cache, b, n, t_new, c):
+        """Cached decode WITHOUT materializing concat([cache, new]).
+
+        The [B*N, 31+1, C] concats of the straight-line path were the
+        single largest data-movement cost of the streaming scan
+        (4 x ~0.55 ms/frame copies at vitl-518, trace 2026-08-17).
+        K/V and logits are computed blockwise over (cache, new) and the
+        fp32 softmax runs over the concatenated [.., d_in+t_new] logits
+        (a tiny tensor) — numerically identical to the concat path."""
+        d_in = cache.shape[1]
+        t_total = d_in + t_new
+        pe = jnp.asarray(sinusoidal_positional_encoding(
+            self.query_dim, self.temporal_max_len))
+        cache_x = cache.astype(x_new.dtype) \
+            + pe[:d_in][None].astype(x_new.dtype)
+        new_x = x_new + pe[d_in:t_total][None].astype(x_new.dtype)
+
+        to_q = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                      name="to_q")
+        to_k = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                      name="to_k")
+        to_v = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                      name="to_v")
+        h, dh = self.heads, c // self.heads
+        bn = b * n
+
+        def heads_of(y, t):
+            return y.reshape(bn, t, h, dh)
+
+        q = heads_of(to_q(new_x), t_new)
+        k_c = heads_of(to_k(cache_x), d_in)
+        k_n = heads_of(to_k(new_x), t_new)
+        v_c = heads_of(to_v(cache_x), d_in)
+        v_n = heads_of(to_v(new_x), t_new)
+
+        scale = dh ** -0.5
+        logit = functools.partial(jnp.einsum, "bqhd,bkhd->bhqk",
+                                  preferred_element_type=jnp.float32)
+        logits = jnp.concatenate(
+            [logit(q, k_c), logit(q, k_n)], axis=-1) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :d_in], v_c) \
+            + jnp.einsum("bhqk,bkhd->bqhd", probs[..., d_in:], v_n)
+
+        out = out.reshape(bn, t_new, c)
+        out = Linear(self.query_dim, param_dtype=self.param_dtype,
+                     name="to_out_0")(out)
+        out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
+        return out.reshape(b * t_new, n, c)
 
     def _cached_cp(self, x_new, cache, cache_len, b, n, t_new, c):
         """Streaming decode with the KV window sharded over seq_axis.

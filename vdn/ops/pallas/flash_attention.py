@@ -52,6 +52,9 @@ DEFAULT_BLOCK_Q = int(_os.environ.get("VDN_FLASH_BLOCK_Q", "704"))
 # softmax (tests/test_flash_attention.py::test_bf16_exp_drift_bounded
 # bounds the ON-path drift).
 _BF16_EXP = _os.environ.get("VDN_FLASH_BF16_EXP", "0") != "0"
+# Issue all head-slice QK dots before the softmaxes in the cols kernel
+# (see _flash_cols_kernel) — A/B knob for MXU/VPU overlap.
+_PIPELINE_HEADS = _os.environ.get("VDN_FLASH_PIPELINE", "0") != "0"
 
 
 def _softmax_rows(s, axis, v_dtype):
@@ -286,10 +289,21 @@ def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     q2 = q_ref[0]                                        # [bq, hb*d]
     k2 = k_ref[0]                                        # [tk, hb*d]
     v2 = v_ref[0]
+    sls = [slice(hh * d, (hh + 1) * d)
+           for hh in range(heads_per_block)]
+    if _PIPELINE_HEADS:
+        # issue every head's QK dot before any softmax consumes one: the
+        # MXU runs head j+1's dot while the VPU does head j's exp (the
+        # dots are independent; in-order issue with async MXU execution
+        # gives the overlap only if nothing VPU-bound sits between them)
+        ss = [jax.lax.dot_general(
+            q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale for sl in sls]
+    else:
+        ss = None
     outs = []
-    for hh in range(heads_per_block):
-        sl = slice(hh * d, (hh + 1) * d)
-        s = jax.lax.dot_general(
+    for hh, sl in enumerate(sls):
+        s = ss[hh] if ss is not None else jax.lax.dot_general(
             q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [bq, tk] f32
         p, l = _softmax_rows(s, axis=1, v_dtype=v2.dtype)

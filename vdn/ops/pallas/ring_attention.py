@@ -17,10 +17,10 @@ compute/communication overlap a fully in-kernel RDMA ring would
 hand-roll; on this rig (1 real chip) an in-kernel ring cannot be
 executed or profiled, so the testable decomposition wins.
 
-Temporal-attention shapes are tiny in T and D ([B*H*W tokens, T<=32
-frames, D<=128]) and the op is bandwidth-bound, so the products use VPU
-broadcast-reduce rather than the MXU (a [G,Tq,D]x[G,Tk,D] batched dot of
-8x8x128 tiles would waste >90% of the systolic array anyway).
+Temporal-attention shapes are tiny in T and D ([B*H*W tokens, T frames,
+D<=128]) and the op is bandwidth-bound; the products are G-batched MXU
+dots over a small row block (a VPU broadcast-reduce was tried first but
+its [G,Tq,Tk,D] rank-4 intermediate blows past VMEM at T>=64).
 
 Training path: ring_attention_pallas carries a custom_vjp whose backward
 re-runs the plain-XLA ring under jax.vjp (pallas_call has no autodiff —
@@ -38,21 +38,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_G = 256  # batch*head rows per grid step
+DEFAULT_BLOCK_G = 8  # batch*head rows per grid step
 
 
 def _ring_step_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
                       o_out, m_out, l_out, *, scale: float):
-    q = q_ref[...].astype(jnp.float32)            # [G, Tq, D]
-    k = k_ref[...].astype(jnp.float32)            # [G, Tk, D]
-    v = v_ref[...].astype(jnp.float32)
-    s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=-1) * scale
+    q = q_ref[...]                                # [G, Tq, D]
+    k = k_ref[...]                                # [G, Tk, D]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale  # [G, Tq, Tk] f32
     m_old = m_ref[...]                            # [G, Tq]
     m_new = jnp.maximum(m_old, jnp.max(s, axis=-1))
     p = jnp.exp(s - m_new[..., None])             # [G, Tq, Tk]
     corr = jnp.exp(m_old - m_new)                 # [G, Tq]
     l_out[...] = l_ref[...] * corr + jnp.sum(p, axis=-1)
-    pv = jnp.sum(p[..., None] * v[:, None, :, :], axis=2)
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # [G, Tq, D]
     o_out[...] = o_ref[...] * corr[..., None] + pv
     m_out[...] = m_new
 

@@ -81,33 +81,50 @@ class VideoDepthStreamPipeline:
             return model.apply(params, x, method=run)
 
         def step_k(params, x, buffers, sels, slots, out_hw):
-            """Decode k frames in ONE dispatch: batched encoder, then a
-            scan that decodes frame-by-frame with exact per-frame cache
-            windows (sels [k, 31]) and slot writes (slots [k])."""
+            """Decode k frames in ONE dispatch.  Only the frame-sequential
+            middle of the head (temporal mixers + the two coarsest
+            refinenets, <=1/8 resolution) runs in a per-frame scan with
+            exact cache windows (sels [k, 31]) and slot writes
+            (slots [k]); the encoder AND the full-resolution head tail
+            (DPTHeadTemporal.decode_pre/decode_post) batch over the whole
+            chunk — they have no cross-frame dependency, so the math is
+            identical to per-frame decode (parity-tested).
+
+            (A read-only-buffer variant — gathering in-chunk entries from
+            a side stack so the rings could stay scan constants — was
+            trace-tested and LOST ~2.7 ms/frame: the extra gather per
+            cache outweighed the carry copies, which turned out to be the
+            attention concat, since removed in motion.py.)"""
             k = x.shape[1]
+            ph, pw = x.shape[2] // 14, x.shape[3] // 14
 
             def run(m, x):
                 feats = m.forward_features(x)  # 4 x (tok [(k),N,C], cls)
-                feats_k = jax.tree.map(
-                    lambda a: a.reshape((k, 1) + a.shape[1:]), feats)
+                # batched frame-independent stages (frames ride the batch)
+                r1, r2, l3, l4 = m.head.decode_pre(feats, ph, pw)
+                r2_hw = tuple(r2.shape[-3:-1])
+                l34_k = jax.tree.map(
+                    lambda a: a.reshape((k, 1) + a.shape[1:]), (l3, l4))
 
                 def body(bufs, per_frame):
-                    f_i, sel, slot = per_frame
+                    (l3_i, l4_i), sel, slot = per_frame
                     onehot = jax.nn.one_hot(sel, CAPACITY)
                     caches = tuple(gather_window(buf, onehot)
                                    for buf in bufs)
-                    depth, entries = m.forward_depth(
-                        f_i, (1, 1) + x.shape[2:], caches=caches)
+                    p3_i, entries = m.head.decode_temporal(
+                        l3_i, l4_i, r2_hw, 1, caches=caches)
                     bufs = tuple(
                         jax.lax.dynamic_update_slice(
                             buf, e.astype(buf.dtype), (0, slot, 0))
                         for buf, e in zip(bufs, entries))
-                    return bufs, depth[0, 0]
+                    return bufs, p3_i[0]
 
-                bufs, depths = jax.lax.scan(
-                    body, buffers, (feats_k, sels, slots))
-                # on-device resize to the source resolution
-                depths = resize2d(depths[..., None], out_hw, "bilinear",
+                bufs, p3s = jax.lax.scan(
+                    body, buffers, (l34_k, sels, slots))
+                # batched full-resolution tail + output resize
+                depth = m.head.decode_post(p3s, r1, r2, (ph * 14, pw * 14))
+                depth = jax.nn.relu(depth.astype(jnp.float32))
+                depths = resize2d(depth, out_hw, "bilinear",
                                   align_corners=True)[..., 0]
                 return depths, bufs
             return model.apply(params, x, method=run)
