@@ -101,6 +101,15 @@ class TemporalAttention(nn.Module):
     def __call__(self, hidden_states: jnp.ndarray, video_length: int,
                  cache: Optional[jnp.ndarray] = None,
                  cache_len: Optional[int] = None):
+        if isinstance(cache, tuple):
+            # batched chunk-window mode: cache = (ring buffer, window
+            # one-hot); all frames of the chunk decode in ONE batched
+            # attention (no per-frame scan) — see _chunk_window
+            assert self.seq_axis is None, \
+                "chunk-window decode is single-device (CP uses the scan)"
+            assert self.pos_embedding_type == "ape"
+            return self._chunk_window(hidden_states, *cache)
+
         bt, n, c = hidden_states.shape
         t_new = video_length
         b = bt // t_new
@@ -236,6 +245,76 @@ class TemporalAttention(nn.Module):
                      name="to_out_0")(out)
         out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
         return out.reshape(b * t_new, n, c)
+
+    def _chunk_window(self, x, buf, onehot):
+        """Batched streaming decode: k frames in ONE window attention.
+
+        No frame in a chunk depends on another frame's output at the SAME
+        attention block (cache entries are block *inputs*, reference
+        motion_module.py:326), so the per-frame scan is unnecessary: every
+        frame queries its own 31-entry window assembled from (ring buffer,
+        in-chunk entries) via a host-built one-hot column map.
+
+        x: [k, N, C] — this block's (LayerNorm'd) inputs for all k frames;
+        buf: [N, CAP, C] ring buffer of previous entries;
+        onehot: [k, W, CAP+k] fp — onehot[j, p] selects the column (ring
+        slot or CAP+i for in-chunk frame i) at window position p of frame
+        j's window; position W-1 is the frame's own entry.
+
+        The window APE is applied via linearity: K(col at pos p) =
+        to_k(raw + pe[p]) = to_k(raw) + to_k(pe[p]), so ring/chunk columns
+        are projected ONCE (position-free) and the q.to_k(pe) /
+        probs.to_v(pe) corrections are added per window position — exact
+        up to fp reassociation (covered by the chunked-vs-per-frame
+        parity test).  Queries always sit at window position W-1 (the
+        stream pipeline's windows are always full; the first frame goes
+        through the full-window path instead).
+
+        Returns (out [k, N, C], cache_entry [N, k, C] — ring layout).
+        """
+        kf, n, c = x.shape
+        cap = buf.shape[1]
+        w = self.temporal_max_len
+        h, dh = self.heads, c // self.heads
+        e_cols = x.transpose(1, 0, 2)  # [N, k, C]; also the new entries
+
+        pe = jnp.asarray(sinusoidal_positional_encoding(
+            self.query_dim, w)).astype(x.dtype)
+        to_q = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                      name="to_q")
+        to_k = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                      name="to_k")
+        to_v = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                      name="to_v")
+
+        qh = to_q(x + pe[w - 1]).reshape(kf, n, h, dh)
+        ring = buf.astype(x.dtype)
+        k_r = to_k(ring).reshape(n, cap, h, dh)
+        k_n = to_k(e_cols).reshape(n, kf, h, dh)
+        v_r = to_v(ring).reshape(n, cap, h, dh)
+        v_n = to_v(e_cols).reshape(n, kf, h, dh)
+        pe_k = to_k(pe).reshape(w, h, dh)
+        pe_v = to_v(pe).reshape(w, h, dh)
+
+        lg = functools.partial(jnp.einsum, "jnhd,nchd->njhc",
+                               preferred_element_type=jnp.float32)
+        logits_cols = jnp.concatenate([lg(qh, k_r), lg(qh, k_n)], axis=-1)
+        qpe = jnp.einsum("jnhd,phd->njhp", qh, pe_k,
+                         preferred_element_type=jnp.float32)
+        # gather each frame's 32 window logits out of the CAP+k columns
+        logits_win = jnp.einsum("njhc,jpc->njhp", logits_cols,
+                                onehot.astype(jnp.float32)) + qpe
+        probs = jax.nn.softmax(logits_win * (dh ** -0.5), axis=-1)
+        pd = probs.astype(x.dtype)
+        # scatter probs back to columns for the shared-column value matmul
+        p_cols = jnp.einsum("njhp,jpc->njhc", pd, onehot.astype(x.dtype))
+        out = jnp.einsum("njhc,nchd->njhd", p_cols[..., :cap], v_r) \
+            + jnp.einsum("njhc,nchd->njhd", p_cols[..., cap:], v_n) \
+            + jnp.einsum("njhp,phd->njhd", pd, pe_v)
+        out = out.transpose(1, 0, 2, 3).reshape(kf, n, c)
+        out = Linear(self.query_dim, param_dtype=self.param_dtype,
+                     name="to_out_0")(out)
+        return out, e_cols
 
     def _cached_cp(self, x_new, cache, cache_len, b, n, t_new, c):
         """Streaming decode with the KV window sharded over seq_axis.

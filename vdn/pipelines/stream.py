@@ -36,14 +36,17 @@ CAPACITY = GAP + 2  # max logical entries ever alive (43)
 class VideoDepthStreamPipeline:
     """Streaming pipeline with micro-batched decode.
 
-    ``chunk_size`` frames are decoded per jitted dispatch: the ViT encoder
-    runs batched over the chunk (where the FLOPs are), then a ``lax.scan``
-    replays the reference's exact per-frame semantics — each frame attends
-    to its own 31-entry cache window and appends its cache entry before the
-    next frame decodes.  Cache-window indices and slot writes are
-    host-precomputed per frame (the eviction policy is deterministic).
-    chunk_size=1 reproduces the reference step-for-step (parity-tested);
-    larger chunks change nothing numerically, only dispatch granularity.
+    ``chunk_size`` frames are decoded per jitted dispatch.  k>1 chunks use
+    the scan-free batched decode (``step_batched``): encoder, head, AND
+    all four temporal mixers batch over the chunk, each frame attending to
+    its own 31-entry cache window through a host-built column map — the
+    math is per-frame-exact because cache entries are attention-block
+    *inputs* (no same-block cross-frame output dependency).  k=1 and
+    context-parallel models use the per-frame ``lax.scan`` path, which is
+    also the parity reference for the batched one.  Cache-window indices,
+    slot writes, and the eviction policy are host-precomputed per frame.
+    Chunking changes nothing numerically (up to fp reassociation in the
+    batched path), only dispatch granularity.
     """
 
     def __init__(self, model, params, input_size: int = 518,
@@ -129,9 +132,50 @@ class VideoDepthStreamPipeline:
                 return depths, bufs
             return model.apply(params, x, method=run)
 
+        def step_batched(params, x, buffers, colsel, slots, out_hw):
+            """Decode k frames in ONE dispatch with NO per-frame scan.
+
+            No frame's attention-block input depends on another frame's
+            output at the same block (cache entries are block INPUTS), so
+            the whole chunk decodes as batched window attention: colsel
+            [k, 32] maps each frame's 32 window positions to a column in
+            [ring(CAPACITY) ‖ in-chunk entries(k)] — host-computed from
+            the same eviction bookkeeping as the scan path (which remains
+            the k=1 / context-parallel path and the parity reference).
+            Ring writes happen once at the end, last-writer-wins per slot
+            (host guarantees in-chunk reads never go through the ring).
+            """
+            k = x.shape[1]
+            ph, pw = x.shape[2] // 14, x.shape[3] // 14
+
+            def run(m, x):
+                feats = m.forward_features(x)
+                r1, r2, l3, l4 = m.head.decode_pre(feats, ph, pw)
+                onehot = jax.nn.one_hot(colsel, CAPACITY + k,
+                                        dtype=jnp.float32)
+                windows = tuple((buf, onehot) for buf in buffers)
+                p3, entries = m.head.decode_temporal(
+                    l3, l4, tuple(r2.shape[-3:-1]), k, caches=windows)
+                bufs = []
+                for buf, e in zip(buffers, entries):
+                    e = e.astype(buf.dtype)
+                    for j in range(k):
+                        buf = jax.lax.dynamic_update_slice(
+                            buf, e[:, j:j + 1], (0, slots[j], 0))
+                    bufs.append(buf)
+                depth = m.head.decode_post(p3, r1, r2, (ph * 14, pw * 14))
+                depth = jax.nn.relu(depth.astype(jnp.float32))
+                depths = resize2d(depth, out_hw, "bilinear",
+                                  align_corners=True)[..., 0]
+                return depths, tuple(bufs)
+            return model.apply(params, x, method=run)
+
         self._first = jax.jit(first, static_argnums=(2,))
         self._step_k = jax.jit(step_k, donate_argnums=(2,),
                                static_argnums=(5,))
+        self._step_batched = jax.jit(step_batched, donate_argnums=(2,),
+                                     static_argnums=(5,))
+        self._use_batched = getattr(model, "seq_axis", None) is None
 
     def reset(self):
         self.slots, self.free, self.buffers = [], [], None
@@ -192,17 +236,27 @@ class VideoDepthStreamPipeline:
             i = 1
 
         if i < len(xs):
-            sels, slots_w = [], []
-            for _ in range(i, len(xs)):
+            sels, slots_w, colsel = [], [], []
+            writer = {}  # physical slot -> in-chunk frame index
+            for j in range(len(xs) - i):
                 self.id += 1
                 sel, slot = self._advance()
                 sels.append(sel)
+                colsel.append([CAPACITY + writer[s] if s in writer else s
+                               for s in sel] + [CAPACITY + j])
+                writer[slot] = j
                 slots_w.append(slot)
             x = np.stack(xs[i:])[None]  # [1, k, h, w, 3]
-            depths, self.buffers = self._step_k(
-                self.params, x, self.buffers,
-                jnp.asarray(sels, jnp.int32),
-                jnp.asarray(slots_w, jnp.int32), self.frame_hw)
+            if self._use_batched and len(slots_w) > 1:
+                depths, self.buffers = self._step_batched(
+                    self.params, x, self.buffers,
+                    jnp.asarray(colsel, jnp.int32),
+                    jnp.asarray(slots_w, jnp.int32), self.frame_hw)
+            else:
+                depths, self.buffers = self._step_k(
+                    self.params, x, self.buffers,
+                    jnp.asarray(sels, jnp.int32),
+                    jnp.asarray(slots_w, jnp.int32), self.frame_hw)
             if fetch:
                 depths = np.asarray(depths)  # [k, H, W]
             out.extend(depths[j] for j in range(depths.shape[0]))
