@@ -52,9 +52,12 @@ class GEGLU(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        y = Linear(self.dim_out * 2, param_dtype=self.param_dtype,
-                   name="proj")(x)
+    def __call__(self, x, *, params_only: bool = False):
+        proj = Linear(self.dim_out * 2, param_dtype=self.param_dtype,
+                      name="proj")
+        if params_only:  # expose raw params to fused Pallas callers
+            return proj(x, params_only=True)
+        y = proj(x)
         hidden, gate = jnp.split(y, 2, axis=-1)
         return hidden * jax.nn.gelu(gate, approximate=False)
 
@@ -67,20 +70,28 @@ class FeedForward(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         inner = self.dim * self.mult
-        x = GEGLU(inner, self.param_dtype, name="net_0")(x)
-        return Linear(self.dim, param_dtype=self.param_dtype, name="net_2")(x)
+        net_0 = GEGLU(inner, self.param_dtype, name="net_0")
+        net_2 = Linear(self.dim, param_dtype=self.param_dtype, name="net_2")
+        if params_only:  # ((w0, b0), (w2, b2)) for the fused GEGLU kernel
+            w0b0 = net_0(x, params_only=True)
+            hidden = jnp.zeros(x.shape[:-1] + (inner,), x.dtype)
+            return w0b0, net_2(hidden, params_only=True)
+        return net_2(net_0(x))
 
 
 class TemporalAttention(nn.Module):
     """Self-attention across frames, one spatial token at a time.
 
-    Input [(B*T), N, C] (N = spatial tokens); attends over T per token.
-    With a cache [B*N, T_cache, C], only the T_new current frames are
-    queried while keys/values span cache + new (reference
+    Input [(B*N), T, C] (token-major — TemporalTransformer3D relayouts
+    once at module entry so no attention block pays a [(B*T), N, C]
+    transpose; the round-3 trace showed those per-block relayouts fusing
+    into the projection dots at up to 26x over peak); attends over T per
+    token.  With a cache [B*N, T_cache, C], only the T_new current
+    frames are queried while keys/values span cache + new (reference
     attention.py:245-326).
-    Returns (output [(B*T_new), N, C], cache_entry [B*N, T_new, C]).
+    Returns (output [(B*N), T_new, C], cache_entry [B*N, T_new, C]).
 
     Context-parallel streaming (cache + seq_axis): the cache argument is
     each device's LOCAL shard of the KV window (sharded along T_cache);
@@ -110,20 +121,39 @@ class TemporalAttention(nn.Module):
             assert self.pos_embedding_type == "ape"
             return self._chunk_window(hidden_states, *cache)
 
-        bt, n, c = hidden_states.shape
-        t_new = video_length
-        b = bt // t_new
-        # (b t) n c -> (b n) t c
-        x = hidden_states.reshape(b, t_new, n, c).transpose(0, 2, 1, 3)
-        x = x.reshape(b * n, t_new, c)
+        x = hidden_states                    # [(b n), t_new, c]
+        bn, t_new, c = x.shape
         cache_entry = x
 
         if cache is not None and self.seq_axis is not None:
-            return self._cached_cp(x, cache, cache_len, b, n, t_new, c), \
-                cache_entry
+            return self._cached_cp(x, cache, cache_len, c), cache_entry
         if cache is not None and self.pos_embedding_type == "ape":
-            return self._cached_local(x, cache, b, n, t_new, c), \
-                cache_entry
+            return self._cached_local(x, cache, c), cache_entry
+
+        from vdn.ops.pallas.temporal_attention import (
+            fused_temporal_enabled, temporal_attention_block)
+        if (cache is None and self.seq_axis is None
+                and self.pos_embedding_type == "ape"
+                and t_new % 8 == 0  # Mosaic sublane split of [P*t, dh]
+                and fused_temporal_enabled()):
+            # TPU clip path: the whole APE+qkv+window-attention+out-proj
+            # block in one Pallas kernel (the XLA lowering of this tiny-T
+            # shape pays relayout copies and 25%-lane softmax passes —
+            # see vdn/ops/pallas/temporal_attention.py)
+            pe = jnp.asarray(sinusoidal_positional_encoding(
+                self.query_dim, self.temporal_max_len))[:t_new]
+            wq, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                           name="to_q")(x, params_only=True)
+            wk, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                           name="to_k")(x, params_only=True)
+            wv, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                           name="to_v")(x, params_only=True)
+            wo, bo = Linear(self.query_dim, param_dtype=self.param_dtype,
+                            name="to_out_0")(x, params_only=True)
+            out = temporal_attention_block(
+                x, pe, wq, wk, wv, wo, bo, self.heads,
+                float((c // self.heads) ** -0.5))
+            return out, cache_entry
 
         d_in = 0
         if cache is not None:
@@ -178,25 +208,22 @@ class TemporalAttention(nn.Module):
         if self.seq_axis is not None:
             from vdn.parallel.context import cp_attention
             out = cp_attention(
-                query.reshape(b * n, t_new, h, dh),
-                key.reshape(b * n, t_total, h, dh),
-                value.reshape(b * n, t_total, h, dh),
+                query.reshape(bn, t_new, h, dh),
+                key.reshape(bn, t_total, h, dh),
+                value.reshape(bn, t_total, h, dh),
                 axis_name=self.seq_axis)
         else:
             out = dot_product_attention(
-                query.reshape(b * n, t_new, h, dh),
-                key.reshape(b * n, t_total, h, dh),
-                value.reshape(b * n, t_total, h, dh),
+                query.reshape(bn, t_new, h, dh),
+                key.reshape(bn, t_total, h, dh),
+                value.reshape(bn, t_total, h, dh),
                 use_flash=False)  # frame axis is short; XLA path wins
-        out = out.reshape(b * n, t_new, c)
+        out = out.reshape(bn, t_new, c)
         out = Linear(self.query_dim, param_dtype=self.param_dtype,
                      name="to_out_0")(out)
-        # (b n) t c -> (b t) n c
-        out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
-        out = out.reshape(b * t_new, n, c)
         return out, cache_entry
 
-    def _cached_local(self, x_new, cache, b, n, t_new, c):
+    def _cached_local(self, x_new, cache, c):
         """Cached decode WITHOUT materializing concat([cache, new]).
 
         The [B*N, 31+1, C] concats of the straight-line path were the
@@ -205,6 +232,7 @@ class TemporalAttention(nn.Module):
         K/V and logits are computed blockwise over (cache, new) and the
         fp32 softmax runs over the concatenated [.., d_in+t_new] logits
         (a tiny tensor) — numerically identical to the concat path."""
+        bn, t_new = x_new.shape[0], x_new.shape[1]
         d_in = cache.shape[1]
         t_total = d_in + t_new
         pe = jnp.asarray(sinusoidal_positional_encoding(
@@ -220,7 +248,6 @@ class TemporalAttention(nn.Module):
         to_v = Linear(c, use_bias=False, param_dtype=self.param_dtype,
                       name="to_v")
         h, dh = self.heads, c // self.heads
-        bn = b * n
 
         def heads_of(y, t):
             return y.reshape(bn, t, h, dh)
@@ -241,10 +268,8 @@ class TemporalAttention(nn.Module):
             + jnp.einsum("bhqk,bkhd->bqhd", probs[..., d_in:], v_n)
 
         out = out.reshape(bn, t_new, c)
-        out = Linear(self.query_dim, param_dtype=self.param_dtype,
-                     name="to_out_0")(out)
-        out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
-        return out.reshape(b * t_new, n, c)
+        return Linear(self.query_dim, param_dtype=self.param_dtype,
+                      name="to_out_0")(out)
 
     def _chunk_window(self, x, buf, onehot):
         """Batched streaming decode: k frames in ONE window attention.
@@ -255,7 +280,7 @@ class TemporalAttention(nn.Module):
         frame queries its own 31-entry window assembled from (ring buffer,
         in-chunk entries) via a host-built one-hot column map.
 
-        x: [k, N, C] — this block's (LayerNorm'd) inputs for all k frames;
+        x: [N, k, C] — this block's (LayerNorm'd) inputs for all k frames;
         buf: [N, CAP, C] ring buffer of previous entries;
         onehot: [k, W, CAP+k] fp — onehot[j, p] selects the column (ring
         slot or CAP+i for in-chunk frame i) at window position p of frame
@@ -270,13 +295,13 @@ class TemporalAttention(nn.Module):
         stream pipeline's windows are always full; the first frame goes
         through the full-window path instead).
 
-        Returns (out [k, N, C], cache_entry [N, k, C] — ring layout).
+        Returns (out [N, k, C], cache_entry [N, k, C] — ring layout).
         """
-        kf, n, c = x.shape
+        n, kf, c = x.shape
         cap = buf.shape[1]
         w = self.temporal_max_len
         h, dh = self.heads, c // self.heads
-        e_cols = x.transpose(1, 0, 2)  # [N, k, C]; also the new entries
+        e_cols = x  # [N, k, C]; also the new ring entries
 
         pe = jnp.asarray(sinusoidal_positional_encoding(
             self.query_dim, w)).astype(x.dtype)
@@ -287,7 +312,7 @@ class TemporalAttention(nn.Module):
         to_v = Linear(c, use_bias=False, param_dtype=self.param_dtype,
                       name="to_v")
 
-        qh = to_q(x + pe[w - 1]).reshape(kf, n, h, dh)
+        qh = to_q(x + pe[w - 1]).reshape(n, kf, h, dh)
         ring = buf.astype(x.dtype)
         k_r = to_k(ring).reshape(n, cap, h, dh)
         k_n = to_k(e_cols).reshape(n, kf, h, dh)
@@ -296,10 +321,10 @@ class TemporalAttention(nn.Module):
         pe_k = to_k(pe).reshape(w, h, dh)
         pe_v = to_v(pe).reshape(w, h, dh)
 
-        lg = functools.partial(jnp.einsum, "jnhd,nchd->njhc",
+        lg = functools.partial(jnp.einsum, "njhd,nchd->njhc",
                                preferred_element_type=jnp.float32)
         logits_cols = jnp.concatenate([lg(qh, k_r), lg(qh, k_n)], axis=-1)
-        qpe = jnp.einsum("jnhd,phd->njhp", qh, pe_k,
+        qpe = jnp.einsum("njhd,phd->njhp", qh, pe_k,
                          preferred_element_type=jnp.float32)
         # gather each frame's 32 window logits out of the CAP+k columns
         logits_win = jnp.einsum("njhc,jpc->njhp", logits_cols,
@@ -311,12 +336,12 @@ class TemporalAttention(nn.Module):
         out = jnp.einsum("njhc,nchd->njhd", p_cols[..., :cap], v_r) \
             + jnp.einsum("njhc,nchd->njhd", p_cols[..., cap:], v_n) \
             + jnp.einsum("njhp,phd->njhd", pd, pe_v)
-        out = out.transpose(1, 0, 2, 3).reshape(kf, n, c)
+        out = out.reshape(n, kf, c)
         out = Linear(self.query_dim, param_dtype=self.param_dtype,
                      name="to_out_0")(out)
         return out, e_cols
 
-    def _cached_cp(self, x_new, cache, cache_len, b, n, t_new, c):
+    def _cached_cp(self, x_new, cache, cache_len, c):
         """Streaming decode with the KV window sharded over seq_axis.
 
         x_new [B*N, t_new, C] replicated; cache [B*N, d_local, C] local
@@ -328,6 +353,7 @@ class TemporalAttention(nn.Module):
             "CP streaming decode supports APE (rope has no cache mode)"
         axis = self.seq_axis
         p = jax.lax.axis_size(axis)
+        bn, t_new = x_new.shape[0], x_new.shape[1]
         d_local = cache.shape[1]
         cl = cache_len if cache_len is not None else p * d_local
         my = jax.lax.axis_index(axis)
@@ -358,14 +384,12 @@ class TemporalAttention(nn.Module):
         from vdn.parallel.context import distributed_kv_attention
         h, dh = self.heads, c // self.heads
         out = distributed_kv_attention(
-            query.reshape(b * n, t_new, h, dh),
-            key.reshape(b * n, d_local + t_new, h, dh),
-            value.reshape(b * n, d_local + t_new, h, dh), axis, bias)
-        out = out.reshape(b * n, t_new, c)
-        out = Linear(self.query_dim, param_dtype=self.param_dtype,
-                     name="to_out_0")(out)
-        out = out.reshape(b, n, t_new, c).transpose(0, 2, 1, 3)
-        return out.reshape(b * t_new, n, c)
+            query.reshape(bn, t_new, h, dh),
+            key.reshape(bn, d_local + t_new, h, dh),
+            value.reshape(bn, d_local + t_new, h, dh), axis, bias)
+        out = out.reshape(bn, t_new, c)
+        return Linear(self.query_dim, param_dtype=self.param_dtype,
+                      name="to_out_0")(out)
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -392,9 +416,19 @@ class TemporalTransformerBlock(nn.Module):
                     caches[i] if caches is not None else None, cache_len)
             x = y + x
             out_caches.append(cache_entry)
-        y = LayerNorm(param_dtype=self.param_dtype, name="ff_norm")(x)
-        x = FeedForward(self.dim, param_dtype=self.param_dtype,
-                        name="ff")(y) + x
+        ff_norm = LayerNorm(param_dtype=self.param_dtype, name="ff_norm")
+        ff = FeedForward(self.dim, param_dtype=self.param_dtype, name="ff")
+        from vdn.ops.pallas.geglu import (fused_geglu_enabled,
+                                          fused_ln_geglu_residual)
+        if fused_geglu_enabled():
+            # TPU: LN + GEGLU + net_2 + residual in one Pallas kernel —
+            # XLA's lowering re-evaluates the exact-erf GEGLU for every
+            # net_2 output column tile (see vdn/ops/pallas/geglu.py)
+            ls, lb = ff_norm(x, params_only=True)
+            (w0, b0), (w2, b2) = ff(x, params_only=True)
+            x = fused_ln_geglu_residual(x, ls, lb, w0, b0, w2, b2)
+        else:
+            x = ff(ff_norm(x)) + x
         return x, out_caches
 
 
@@ -417,10 +451,16 @@ class TemporalTransformer3D(nn.Module):
                  cache_len: Optional[int] = None):
         # x: [(B*T_new), H, W, C]
         bt, hh, ww, c = x.shape
+        t = video_length
+        b, n = bt // t, hh * ww
         residual = x
         y = GroupNorm(self.norm_num_groups, epsilon=1e-6,
                       param_dtype=self.param_dtype, name="norm")(x)
-        y = y.reshape(bt, hh * ww, c)
+        # relayout ONCE to token-major [(B*N), T, C]: every attention
+        # block, LN, FF, and projection then runs transpose-free (the
+        # per-block (b t) n c <-> (b n) t c relayouts used to fuse into
+        # the projection dots at up to 26x over peak — trace 2026-08-18)
+        y = y.reshape(b, t, n, c).transpose(0, 2, 1, 3).reshape(b * n, t, c)
         y = Linear(c, param_dtype=self.param_dtype, name="proj_in")(y)
 
         out_caches: List[jnp.ndarray] = []
@@ -440,7 +480,8 @@ class TemporalTransformer3D(nn.Module):
         # (reference motion_module.py:57-58 zero_initialize)
         y = Linear(self.in_channels, param_dtype=self.param_dtype,
                    kernel_init=nn.initializers.zeros, name="proj_out")(y)
-        y = y.reshape(bt, hh, ww, c)
+        y = y.reshape(b, n, t, c).transpose(0, 2, 1, 3).reshape(
+            bt, hh, ww, c)
         return y + residual, out_caches
 
 

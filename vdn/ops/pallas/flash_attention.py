@@ -58,32 +58,36 @@ _PIPELINE_HEADS = _os.environ.get("VDN_FLASH_PIPELINE", "0") != "0"
 
 
 def _softmax_rows(s, axis, v_dtype):
-    """exp/sum of shifted logits; returns (p, l f32).
-
-    p is bf16 when ``v_dtype`` is bf16 and VDN_FLASH_BF16_EXP is on
-    (the AV matmul consumes it in bf16 anyway), else f32."""
+    """Shifted exp of logits, rounded to ``v_dtype`` (the AV-matmul input
+    dtype).  The row sum is NOT computed here — it rides the AV dot as a
+    ones column (the [bq, tk] cross-lane VPU sum was the most expensive
+    softmax pass, while the AV dot's d=64 output pads to 128 lanes
+    anyway, so column d carries sum(p) for free; exact for f32 inputs).
+    With VDN_FLASH_BF16_EXP the exp itself evaluates on bf16-rounded
+    shifted logits (two lanes per VPU op) instead of rounding after."""
     m = jnp.max(s, axis=axis, keepdims=True)
     t = s - m
     if _BF16_EXP and v_dtype == jnp.bfloat16:
-        p = jnp.exp(t.astype(jnp.bfloat16))
-        l = jnp.sum(p, axis=axis, keepdims=True, dtype=jnp.float32)
-    else:
-        p = jnp.exp(t)
-        l = jnp.sum(p, axis=axis, keepdims=True)
-    return p, l
+        return jnp.exp(t.astype(jnp.bfloat16))
+    return jnp.exp(t).astype(v_dtype)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]  # [bq, d]
     k = k_ref[0]  # [tk, d]
+    d = q.shape[1]
+    tk = k.shape[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale      # [bq, tk] f32
-    p, l = _softmax_rows(s, axis=1, v_dtype=v_ref.dtype)
+    p = _softmax_rows(s, axis=1, v_dtype=v_ref.dtype)
+    # row sum via a ones column of the AV dot (see _softmax_rows)
+    vx = jnp.concatenate(
+        [v_ref[0], jnp.ones((tk, 1), v_ref.dtype)], axis=1)
     pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [bq, d]
-    o_ref[0] = (pv / l).astype(o_ref.dtype)
+        p, vx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [bq, d+1]
+    o_ref[0] = (pv[:, :d] / pv[:, d:d + 1]).astype(o_ref.dtype)
 
 
 def _pick_block(tq: int, target: int) -> int:
@@ -301,17 +305,20 @@ def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             preferred_element_type=jnp.float32) * scale for sl in sls]
     else:
         ss = None
+    tk = v2.shape[0]
     outs = []
     for hh, sl in enumerate(sls):
         s = ss[hh] if ss is not None else jax.lax.dot_general(
             q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [bq, tk] f32
-        p, l = _softmax_rows(s, axis=1, v_dtype=v2.dtype)
+        p = _softmax_rows(s, axis=1, v_dtype=v2.dtype)
+        # row sum rides the AV matmul as a ones column (see _softmax_rows)
+        vx = jnp.concatenate(
+            [v2[:, sl], jnp.ones((tk, 1), v2.dtype)], axis=1)
         pv = jax.lax.dot_general(
-            p.astype(v2.dtype), v2[:, sl],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [bq, d]
-        outs.append(pv / l)
+            p, vx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, d+1]
+        outs.append(pv[:, :d] / pv[:, d:d + 1])
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
