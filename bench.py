@@ -40,8 +40,8 @@ import jax.numpy as jnp
 A100_BASELINE_FPS = 9.1
 FRAMES = 32
 SIZE = 518
-K_SMALL, K_LARGE = 2, 8
-REPS = 3
+K_SMALL, K_LARGE = 2, 12
+REPS = 5
 
 
 def _make_runner(model):

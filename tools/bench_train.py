@@ -97,6 +97,8 @@ def main():
                     choices=("refine", "metric"),
                     help="refine: canonical v4 trainer; metric: the "
                          "metric-depth (SiLog) trainer")
+    ap.add_argument("--trace", action="store_true",
+                    help="capture one warmed step to profiles/train")
     args = ap.parse_args()
 
     if args.model == "metric":
@@ -105,8 +107,12 @@ def main():
     from vdn.models.refine import RefineVideoDepth
     from vdn.train.trainer import RefineTrainer
 
+    # remat default ON (the round-1 B=2 OOM source was the pre-flash fp32
+    # logits; VDN_TRAIN_REMAT=0 A/Bs paying the activations to skip the
+    # encoder recompute)
+    remat = os.environ.get("VDN_TRAIN_REMAT", "1") != "0"
     model = RefineVideoDepth(version=4, encoder=args.encoder,
-                             compute_dtype=jnp.bfloat16, remat=True)
+                             compute_dtype=jnp.bfloat16, remat=remat)
     rng = np.random.default_rng(0)
     b, t, s = args.batch, args.frames, args.size
     batch = {
@@ -146,6 +152,19 @@ def main():
     flops = cost.get("flops", float("nan")) if cost else float("nan")
 
     float(run(state, input_depths, gt, masks, jnp.int32(1)))  # compile
+
+    if args.trace:
+        # ONE warmed step dispatch for tools/parse_trace.py (>1 large
+        # dispatch under the profiler hangs the axon tunnel).  Donate
+        # the state: two undonated dispatches would hold three full
+        # fp32 optimizer states and OOM the 16 GB HBM.
+        single_d = jax.jit(trainer._train_step_impl, donate_argnums=(0,))
+        state, _ = single_d(state, input_depths, gt, masks)
+        with jax.profiler.trace("profiles/train"):
+            state, metrics = single_d(state, input_depths, gt, masks)
+            float(metrics["total_loss"])
+        print("trace written to profiles/train")
+        return
 
     def best(k):
         v = float("inf")

@@ -128,29 +128,44 @@ class Scratch(nn.Module):
     def output_head(self, path_1, out_hw: Tuple[int, int]):
         """conv1 -> align_corners-bilinear to (14*ph, 14*pw) -> fp32 convs.
 
-        Returns (depth [B,H,W,1] fp32, upscaled 128-ch feature)."""
+        Returns (depth [B,H,W,1] fp32, upscaled feature — None on the
+        fully-fused TPU path; no caller consumes it)."""
         out = self.output_conv1(path_1)
-        out = resize2d(out, out_hw, "bilinear", align_corners=True)
-        feat = out
         # fp32-accumulation island (cf. reference dpt_temporal.py:108-110):
         # compute-dtype operands, fp32 accumulator + fp32 activations from
         # here to the output (see the output_conv2_0 note in setup)
         act = jax.nn.sigmoid if self.sigmoid_output else jax.nn.relu
         o_ch = 32
         if 128 % o_ch == 0 and 128 // o_ch > 1:
-            # lane-packed island: N=32 output channels use 25% of the MXU
-            # and force a full-res fp32 intermediate; see
-            # vdn/ops/packed_conv.py
-            from vdn.ops.packed_conv import packed_island_head
             w1, b1 = self.output_conv2_0(out, params_only=True)
             w2, b2 = self.output_conv2_2(
                 jnp.zeros(out.shape[:-1] + (o_ch,), out.dtype),
                 params_only=True)
-            return packed_island_head(out, w1, b1, w2[0, 0], b2, act), feat
+            from vdn.ops.pallas.resize_island import (
+                fused_resize_island, fused_resize_island_enabled)
+            if (fused_resize_island_enabled(out.shape[-1], o_ch)
+                    and out.shape[-3] < out_hw[0]
+                    and out.shape[-2] < out_hw[1]):
+                # TPU: W-resize + packed island conv in one kernel — the
+                # [*, out_hw, C] resized feature never touches HBM (its
+                # round trip was ~2.2 GB per vitl 32-frame window); see
+                # vdn/ops/pallas/resize_island.py
+                y = fused_resize_island(
+                    out, w1, b1, w2[0, 0], b2, tuple(out_hw),
+                    self.sigmoid_output,
+                    1.0)  # metric max_depth is applied at the model level
+                return y, None
+            # lane-packed island: N=32 output channels use 25% of the MXU
+            # and force a full-res fp32 intermediate; see
+            # vdn/ops/packed_conv.py
+            from vdn.ops.packed_conv import packed_island_head
+            up = resize2d(out, out_hw, "bilinear", align_corners=True)
+            return packed_island_head(up, w1, b1, w2[0, 0], b2, act), up
+        out = resize2d(out, out_hw, "bilinear", align_corners=True)
         y = self.output_conv2_0(out)
         y = jax.nn.relu(y)
         y = self.output_conv2_2(y)
-        return act(y), feat
+        return act(y), out
 
 
 class DPTHead(nn.Module):

@@ -161,7 +161,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
 
 
-def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, out_ref,
+                      dq_ref, dk_ref, dv_ref,
                       *, scale: float, tq: int, bq: int):
     """Full-K flash backward.  One grid step handles one q block against
     the whole K/V row; dk/dv accumulate across the (sequential) q-block
@@ -169,8 +170,16 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
 
     Math (out = P v, P = softmax(q k^T * scale)):
       dv = P^T g
-      dP = g v^T;  ds = P * (dP - rowsum(dP * P))
+      dP = g v^T;  ds = P * (dP - delta),  delta = rowsum(dP * P)
       dq = ds k * scale;  dk = ds^T q * scale
+
+    VPU economy (the [bq, tk] passes dominate; MXU does the rest):
+      * delta == rowsum(g * out) (FlashAttention-2 identity) — computed
+        from the saved forward output on the tiny [bq, d] block, deleting
+        the [bq, tk] dP*P multiply + cross-lane rowsum;
+      * 1/l is folded into per-row rescales of the [bq, d] operands
+        (g/l for dv, q/l for dk, the dq row-rescale) instead of
+        dividing the [bq, tk] matrix.
     """
     i = pl.program_id(1)
 
@@ -188,37 +197,41 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # [bq, tk]
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    big_p = p / jnp.sum(p, axis=1, keepdims=True)         # [bq, tk] f32
+    p = jnp.exp(s - m)                                    # unnormalized
     # rows past tq are block padding (undefined values): zero every
     # operand that feeds a cross-row reduction — a padded NaN times a
     # zeroed ds row is still NaN
-    rows = jax.lax.broadcasted_iota(jnp.int32, (big_p.shape[0], 1), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 1), 0)
     valid = rows + i * bq < tq
-    big_p = jnp.where(valid, big_p, 0.0)
+    p = jnp.where(valid, p, 0.0)
     g = jnp.where(valid, g, 0.0)
     q = jnp.where(valid, q, jnp.zeros_like(q))
+    # padded rows' g*out may be inf/NaN garbage: select, don't multiply
+    delta = jnp.where(valid, jnp.sum(
+        g * out_ref[0].astype(jnp.float32), axis=1, keepdims=True), 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)                 # [bq, 1]
+    inv_l = 1.0 / jnp.maximum(l, 1e-30)
 
     dv_ref[0] += jax.lax.dot_general(
-        big_p, g, (((0,), (0,)), ((), ())),
+        p, g * inv_l, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [tk, d]
     dp = jax.lax.dot_general(
         g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)               # [bq, tk]
-    delta = jnp.sum(dp * big_p, axis=1, keepdims=True)    # [bq, 1]
-    ds = big_p * (dp - delta)                             # [bq, tk] f32
-    dsc = ds.astype(q.dtype)
+    t = p * (dp - delta)                                  # [bq, tk] f32
+    tc = t.astype(q.dtype)
     dq_ref[0] = (jax.lax.dot_general(
-        dsc, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        tc, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        * (inv_l * scale)).astype(dq_ref.dtype)
     dk_ref[0] += jax.lax.dot_general(
-        dsc, q, (((0,), (0,)), ((), ())),
+        tc, (q * inv_l).astype(q.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # [tk, d]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q"))
-def _flash_bwd_bhtd(q, k, v, g, scale: float, block_q: int):
-    """Gradients of `_flash_bhtd` w.r.t. (q, k, v); g [BH, Tq, D]."""
+def _flash_bwd_bhtd(q, k, v, g, out, scale: float, block_q: int):
+    """Gradients of `_flash_bhtd` w.r.t. (q, k, v); g/out [BH, Tq, D]."""
     bh, tq, d = q.shape
     tk = k.shape[1]
     bq = _pick_block(tq, block_q)
@@ -231,6 +244,7 @@ def _flash_bwd_bhtd(q, k, v, g, scale: float, block_q: int):
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
         ],
         out_specs=[
@@ -251,11 +265,11 @@ def _flash_bwd_bhtd(q, k, v, g, scale: float, block_q: int):
             bytes_accessed=4 * (q.size + k.size + v.size)
             * q.dtype.itemsize,
             transcendentals=bh * tq * tk),
-    )(q, k, v, g)
+    )(q, k, v, g, out)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-def _flash_grads(q, k, v, g, scale: float, block_q: int):
+def _flash_grads(q, k, v, g, out, scale: float, block_q: int):
     """(dq, dk, dv) for the [B, T, H, D] contract via the backward kernel."""
     b, tq, h, d = q.shape
     tk = k.shape[1]
@@ -268,18 +282,19 @@ def _flash_grads(q, k, v, g, scale: float, block_q: int):
 
     dq, dk, dv = _flash_bwd_bhtd(
         to_bhtd(q, tq), to_bhtd(k, tk), to_bhtd(v, tk), to_bhtd(g, tq),
-        float(scale), block_q)
+        to_bhtd(out, tq), float(scale), block_q)
     return from_bhtd(dq, tq), from_bhtd(dk, tk), from_bhtd(dv, tk)
 
 
 def _flash_fwd(q, k, v, scale, block_q):
-    return flash_attention(q, k, v, scale, block_q), (q, k, v)
+    out = flash_attention(q, k, v, scale, block_q)
+    return out, (q, k, v, out)
 
 
 def _flash_bwd(scale, block_q, res, g):
-    q, k, v = res
+    q, k, v, out = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
-    return _flash_grads(q, k, v, g, s, block_q)
+    return _flash_grads(q, k, v, g, out, s, block_q)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -384,14 +399,16 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
 
 
 def _fused_qkv_fwd(qkv, scale, block_q):
-    return flash_attention_fused_qkv(qkv, scale, block_q), qkv
+    out = flash_attention_fused_qkv(qkv, scale, block_q)
+    return out, (qkv, out)
 
 
-def _fused_qkv_bwd(scale, block_q, qkv, g):
+def _fused_qkv_bwd(scale, block_q, res, g):
+    qkv, out = res
     d = qkv.shape[-1]
     s = d ** -0.5 if scale is None else scale
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    dq, dk, dv = _flash_grads(q, k, v, g, s, block_q)
+    dq, dk, dv = _flash_grads(q, k, v, g, out, s, block_q)
     return (jnp.stack([dq, dk, dv], axis=2),)
 
 
