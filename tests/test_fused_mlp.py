@@ -66,6 +66,31 @@ def test_fused_ln_mlp_grads_match_reference():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_handwritten_bwd_matches_autodiff_bf16():
+    # the production compute dtype: the hand-written _bwd must track
+    # jax.vjp of _reference_tail dtype-for-dtype (incl. bf16 dW rounding)
+    args = _args(n=320, c=128, f=512, seed=3)
+    args = (args[0].astype(jnp.bfloat16),) + args[1:]
+    g = jnp.asarray(np.random.default_rng(9).standard_normal((320, 128)),
+                    jnp.bfloat16)
+
+    _, vjp = jax.vjp(lambda *a: _reference_tail(*a, eps=1e-6), *args)
+    ref = vjp(g)
+
+    from vdn.ops.pallas.mlp import _bwd
+    got = _bwd(1e-6, args, g)
+    # exactness is proven by the f32 test above; under bf16 the two
+    # gelu'-chains differ by ~1 ulp before the bf16 round, and the
+    # sum-reductions (db1/dls/...) random-walk that noise over the 320
+    # rows — tolerances sized for that, tight enough to catch any
+    # formula/dtype error (a wrong term shifts grads by O(1))
+    for a, b in zip(ref, got):
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            rtol=0.1, atol=0.5)
+
+
 def test_erf_approximation_accuracy():
     # A&S 7.1.26: 1.5e-7 in exact arithmetic, ~5e-7 after f32 rounding —
     # far below bf16 resolution (~4e-3)

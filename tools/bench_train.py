@@ -145,14 +145,6 @@ def main():
             (jnp.int32(0), state, jnp.float32(0.0)))
         return acc
 
-    # cost analysis of a single train step for the TFLOP/s denominator
-    single = jax.jit(trainer._train_step_impl)
-    cost = single.lower(state, input_depths, gt,
-                        masks).compile().cost_analysis()
-    flops = cost.get("flops", float("nan")) if cost else float("nan")
-
-    float(run(state, input_depths, gt, masks, jnp.int32(1)))  # compile
-
     if args.trace:
         # ONE warmed step dispatch for tools/parse_trace.py (>1 large
         # dispatch under the profiler hangs the axon tunnel).  Donate
@@ -165,6 +157,14 @@ def main():
             float(metrics["total_loss"])
         print("trace written to profiles/train")
         return
+
+    # cost analysis of a single train step for the TFLOP/s denominator
+    single = jax.jit(trainer._train_step_impl)
+    cost = single.lower(state, input_depths, gt,
+                        masks).compile().cost_analysis()
+    flops = cost.get("flops", float("nan")) if cost else float("nan")
+
+    float(run(state, input_depths, gt, masks, jnp.int32(1)))  # compile
 
     def best(k):
         v = float("inf")

@@ -57,19 +57,26 @@ _BF16_EXP = _os.environ.get("VDN_FLASH_BF16_EXP", "0") != "0"
 _PIPELINE_HEADS = _os.environ.get("VDN_FLASH_PIPELINE", "0") != "0"
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _softmax_rows(s, axis, v_dtype):
-    """Shifted exp of logits, rounded to ``v_dtype`` (the AV-matmul input
-    dtype).  The row sum is NOT computed here — it rides the AV dot as a
-    ones column (the [bq, tk] cross-lane VPU sum was the most expensive
-    softmax pass, while the AV dot's d=64 output pads to 128 lanes
-    anyway, so column d carries sum(p) for free; exact for f32 inputs).
-    With VDN_FLASH_BF16_EXP the exp itself evaluates on bf16-rounded
-    shifted logits (two lanes per VPU op) instead of rounding after."""
+    """Shifted exp2 of base-2 logits (s = log2(e)*scale*qk, the fold
+    happening on the tiny [bq, d] q block before the dot — no [bq, tk]
+    scale pass), rounded to ``v_dtype`` (the AV-matmul input dtype).
+    exp2(s2 - max(s2)) == exp(s - max(s)) exactly (log2e > 0 commutes
+    with max), so this is the same unnormalized softmax.  The row sum is
+    NOT computed here — it rides the AV dot as a ones column (the
+    [bq, tk] cross-lane VPU sum was the most expensive softmax pass,
+    while the AV dot's d=64 output pads to 128 lanes anyway, so column d
+    carries sum(p) for free; exact for f32 inputs).  With
+    VDN_FLASH_BF16_EXP the exp2 itself evaluates on bf16-rounded shifted
+    logits (two lanes per VPU op) instead of rounding after."""
     m = jnp.max(s, axis=axis, keepdims=True)
     t = s - m
     if _BF16_EXP and v_dtype == jnp.bfloat16:
-        return jnp.exp(t.astype(jnp.bfloat16))
-    return jnp.exp(t).astype(v_dtype)
+        return jnp.exp2(t.astype(jnp.bfloat16))
+    return jnp.exp2(t).astype(v_dtype)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -78,8 +85,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     d = q.shape[1]
     tk = k.shape[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # [bq, tk] f32
+        q * jnp.asarray(scale * _LOG2E, q.dtype), k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [bq, tk] f32
     p = _softmax_rows(s, axis=1, v_dtype=v_ref.dtype)
     # row sum via a ones column of the AV dot (see _softmax_rows)
     vx = jnp.concatenate(
@@ -193,11 +201,14 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, g_ref, out_ref,
     v = v_ref[0]
     g = g_ref[0].astype(jnp.float32)                      # [bq, d]
 
+    # base-2 softmax recompute: scale*log2e folds into the tiny [bq, d]
+    # q block; exp2(s2 - max(s2)) == exp(s - max(s)) exactly (log2e > 0)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale       # [bq, tk]
+        q * jnp.asarray(scale * _LOG2E, q.dtype), k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bq, tk]
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)                                    # unnormalized
+    p = jnp.exp2(s - m)                                   # unnormalized
     # rows past tq are block padding (undefined values): zero every
     # operand that feeds a cross-row reduction — a padded NaN times a
     # zeroed ds row is still NaN
@@ -310,22 +321,25 @@ def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     v2 = v_ref[0]
     sls = [slice(hh * d, (hh + 1) * d)
            for hh in range(heads_per_block)]
+    # scale (x log2e for the base-2 softmax, see _softmax_rows) folds
+    # into the tiny [bq, d] q slice — no [bq, tk] scale pass
+    c2 = jnp.asarray(scale * _LOG2E, q2.dtype)
     if _PIPELINE_HEADS:
         # issue every head's QK dot before any softmax consumes one: the
         # MXU runs head j+1's dot while the VPU does head j's exp (the
         # dots are independent; in-order issue with async MXU execution
         # gives the overlap only if nothing VPU-bound sits between them)
         ss = [jax.lax.dot_general(
-            q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale for sl in sls]
+            q2[:, sl] * c2, k2[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for sl in sls]
     else:
         ss = None
     tk = v2.shape[0]
     outs = []
     for hh, sl in enumerate(sls):
         s = ss[hh] if ss is not None else jax.lax.dot_general(
-            q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [bq, tk] f32
+            q2[:, sl] * c2, k2[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, tk] f32
         p = _softmax_rows(s, axis=1, v_dtype=v2.dtype)
         # row sum rides the AV matmul as a ones column (see _softmax_rows)
         vx = jnp.concatenate(

@@ -16,9 +16,11 @@ Numerics match the unfused path: LN in fp32 (vdn.nn.layers.LayerNorm),
 matmuls accumulate fp32 and round to the compute dtype between stages,
 GELU exact (erf) in fp32.
 
-Differentiable via custom_vjp: the backward pass recomputes the
-intermediates with plain jnp (remat-style) so training needs no second
-kernel; only the forward is Pallas.
+Differentiable via custom_vjp: the backward is a hand-written VJP that
+recomputes the intermediates (remat-style) with each expensive stage
+(LN output, gelu, gelu') materialized once behind optimization_barrier
+— without the barriers XLA re-fuses the erf chain into every grad
+matmul's output tiling.  Only the forward is a Pallas kernel.
 
 Reference equivalence: DINOv2 Block.forward ffn residual
 (reference depth_anything_v2/dinov2_layers/block.py:84-111, mlp.py).
@@ -27,6 +29,7 @@ Reference equivalence: DINOv2 Block.forward ffn residual
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -179,19 +182,74 @@ def _fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps):
 
 
 def _bwd(eps, res, g):
-    # recompute intermediates (remat-style) and differentiate the plain
-    # jnp tail; XLA handles the backward matmuls well (no epilogue fusion
-    # pathology: the cotangent chain has no downstream LN reduce)
+    # Hand-written VJP with remat-style recompute.  The earlier
+    # jax.vjp(_reference_tail) backward let XLA fuse the exact-GELU
+    # recompute INTO the grad matmuls: each per-block backward fusion
+    # re-evaluated the 54-op erf chain on the [N, F] hidden per output
+    # tile (the same epilogue pathology the forward kernel exists to
+    # avoid — confirmed in the optimized train-step HLO: 24 conv fusions
+    # each embedding the full erfc series, 2 full-size exp ops per
+    # block).  Here every expensive intermediate (LN output, gelu(h),
+    # gelu'(h)) is materialized exactly once behind an
+    # optimization_barrier, so the six backward matmuls run as clean
+    # MXU convs.  Math identical to jax.vjp of _reference_tail
+    # (dtype-for-dtype, including the bf16 rounding of dW under a bf16
+    # compute dtype); regression-tested against it in
+    # tests/test_fused_mlp.py.
     x, ln_scale, ln_bias, w1, b1, w2, b2, gamma = res
     shape = x.shape
-    flat = lambda a: a.reshape(-1, shape[-1])
+    c = shape[-1]
+    dt = x.dtype
+    f32 = jnp.float32
+    x2 = x.reshape(-1, c)
+    g2 = g.reshape(-1, c)
+    w1_dt, w2_dt = w1.astype(dt), w2.astype(dt)
 
-    def f(*args):
-        return _reference_tail(flat(args[0]), *args[1:], eps=eps)
+    # --- forward recompute (each stage materialized once) ---
+    xf = x2.astype(f32)
+    mean = xf.mean(-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(jnp.square(xc), -1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = xc * inv                                          # [n, c] f32
+    y = (xh * ln_scale.astype(f32)
+         + ln_bias.astype(f32)).astype(dt)                 # LN out, bf16
+    y = jax.lax.optimization_barrier(y)
+    hpre = jnp.matmul(y, w1_dt) + b1.astype(dt)
+    hf = hpre.astype(f32)
+    h = jax.lax.optimization_barrier(
+        jax.nn.gelu(hf, approximate=False).astype(dt))
+    o = jnp.matmul(h, w2_dt) + b2.astype(dt)               # fc2 out
 
-    _, vjp = jax.vjp(f, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
-    grads = vjp(flat(g))
-    return (grads[0].reshape(shape),) + grads[1:]
+    # --- backward ---
+    go = g2 * gamma.astype(dt)
+    dgamma = jnp.sum(g2 * o, axis=0).astype(gamma.dtype)
+    db2 = jnp.sum(go, axis=0).astype(b2.dtype)
+    dw2 = jnp.matmul(h.T, go).astype(w2.dtype)
+    dh = jnp.matmul(go, w2_dt.T)
+    # gelu'(z) = Phi(z) + z * phi(z); the f32 multiply-then-round order
+    # matches autodiff of _reference_tail exactly.  The barrier on dhpre
+    # materializes the whole erf/exp chain once — its three matmul
+    # consumers read the bf16 result instead of re-deriving it per tile.
+    phi = jnp.exp(-0.5 * hf * hf) * (1.0 / math.sqrt(2.0 * math.pi))
+    cdf = 0.5 * (1.0 + jax.lax.erf(hf * (2.0 ** -0.5)))
+    dhpre = jax.lax.optimization_barrier(
+        (dh.astype(f32) * (cdf + hf * phi)).astype(dt))
+    db1 = jnp.sum(dhpre, axis=0).astype(b1.dtype)
+    dw1 = jnp.matmul(y.T, dhpre).astype(w1.dtype)
+    dy = jnp.matmul(dhpre, w1_dt.T)
+
+    # LayerNorm backward (f32, matching autodiff of the explicit chain)
+    dyf = dy.astype(f32)
+    dls = jnp.sum(dyf * xh, axis=0).astype(ln_scale.dtype)
+    dlb = jnp.sum(dyf, axis=0).astype(ln_bias.dtype)
+    dxh = dyf * ln_scale.astype(f32)
+    dxc = dxh * inv
+    dvar = jnp.sum(dxh * xc, -1, keepdims=True) * (-0.5) * inv * inv * inv
+    dxc = dxc + (2.0 / c) * xc * dvar
+    dxf = dxc - jnp.mean(dxc, -1, keepdims=True)
+    dx = (g2 + dxf.astype(dt)).reshape(shape)
+    return dx, dls, dlb, dw1, db1, dw2, db2, dgamma
 
 
 fused_ln_mlp_residual.defvjp(_fwd, _bwd)
