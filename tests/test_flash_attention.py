@@ -140,6 +140,28 @@ def test_fused_qkv_grads_match_xla():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_qkv_grads_multi_colblock_ragged_t():
+    # b>1, two 128-wide column blocks (h=4, d=64), t not a multiple of the
+    # sublane width: exercises the cols-backward kernel's padded-row
+    # masking and the dk/dv accumulation across sequential q blocks
+    rng = np.random.default_rng(5)
+    qkv = rng.standard_normal((2, 150, 3, 4, 64)).astype(np.float32)
+    scale = 64 ** -0.5
+
+    def loss_flash(qkv):
+        return jnp.sum(jnp.square(
+            fa.flash_attention_fused_qkv(qkv, scale, 64)))
+
+    def loss_xla(qkv):
+        return jnp.sum(jnp.square(_xla_attention(
+            qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], scale)))
+
+    got = jax.grad(loss_flash)(jnp.asarray(qkv))
+    want = jax.grad(loss_xla)(jnp.asarray(qkv))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_accum_conv_grad():
     """The fp32-accum island conv (bf16 in, fp32 out) must differentiate
     — XLA's built-in conv grad rejects the dtype mix; vdn routes it

@@ -412,6 +412,119 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
     return out.reshape(b, t, h, d)
 
 
+def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref,
+                           dq_ref, dk_ref, dv_ref,
+                           *, scale: float, heads_per_block: int, d: int,
+                           tq: int, bq: int):
+    """Column-block flash backward: operands are 128-wide column views of
+    the fused [B, T, 3C] qkv tensor and the [B, T, C] cotangent/output —
+    the same zero-staging layout as `_flash_cols_kernel`, so none of the
+    [B,T,H,D] slices or [B*H,T,D] relayouts of `_flash_grads` are ever
+    materialized (the staged path cost ~11 bandwidth-bound HBM copies per
+    encoder layer in the train step).  Same FlashAttention-2 math as
+    `_flash_bwd_kernel` (delta from the saved forward output, 1/l folded
+    into [bq, d] row rescales, base-2 softmax recompute); dk/dv
+    accumulate across the sequential q-block grid axis in VMEM-resident
+    fp32 column blocks."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q2 = qkv_q[0]                                        # [bq, w]
+    k2 = qkv_k[0]                                        # [tk, w]
+    v2 = qkv_v[0]
+    g2 = g_ref[0]
+    o2 = out_ref[0]
+    # rows past tq are block padding (undefined): zero every operand that
+    # feeds a cross-row reduction (a padded NaN times a zeroed row is
+    # still NaN, so select, don't multiply)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (q2.shape[0], 1), 0)
+    valid = rows + i * bq < tq
+    c2 = jnp.asarray(scale * _LOG2E, q2.dtype)
+    dqs, dks, dvs = [], [], []
+    for hh in range(heads_per_block):
+        sl = slice(hh * d, (hh + 1) * d)
+        q = jnp.where(valid, q2[:, sl], jnp.zeros_like(q2[:, sl]))
+        k = k2[:, sl]
+        v = v2[:, sl]
+        g = jnp.where(valid, g2[:, sl].astype(jnp.float32), 0.0)
+        s = jax.lax.dot_general(
+            q * c2, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, tk] f32
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.where(valid, jnp.exp2(s - m), 0.0)       # unnormalized
+        delta = jnp.where(valid, jnp.sum(
+            g * o2[:, sl].astype(jnp.float32), axis=1, keepdims=True), 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+        dvs.append(jax.lax.dot_general(
+            p, g * inv_l, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))         # [tk, d]
+        dp = jax.lax.dot_general(
+            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, tk]
+        t = p * (dp - delta)
+        tc = t.astype(q2.dtype)
+        dqs.append(jax.lax.dot_general(
+            tc, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (inv_l * scale))
+        dks.append(jax.lax.dot_general(
+            tc, (q * inv_l).astype(q2.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)  # [tk, d]
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+    dk_ref[0] += jnp.concatenate(dks, axis=1)
+    dv_ref[0] += jnp.concatenate(dvs, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "block_q", "hb", "h", "d"))
+def _flash_bwd_cols(qkv2, g2, out2, scale: float, block_q: int,
+                    hb: int, h: int, d: int):
+    """qkv2 [B, T, 3C], g2/out2 [B, T, C] -> (dq2, dk2, dv2) [B, T, C]
+    (dk2/dv2 fp32 accumulators; caller casts and concatenates)."""
+    b, t, _ = qkv2.shape
+    n = h // hb
+    w = hb * d
+    bq = _pick_block(t, block_q)
+    grid = (b, n, pl.cdiv(t, bq))
+    flops = 10 * b * h * t * t * d
+    return pl.pallas_call(
+        functools.partial(_flash_bwd_cols_kernel, scale=scale,
+                          heads_per_block=hb, d=d, tq=t, bq=bq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+            pl.BlockSpec((1, t, w),
+                         lambda b, g, i, _n=n: (b, 0, _n + g)),
+            pl.BlockSpec((1, t, w),
+                         lambda b, g, i, _n=n: (b, 0, 2 * _n + g)),
+            pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+            pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+            pl.BlockSpec((1, t, w), lambda b, g, i: (b, 0, g)),
+            pl.BlockSpec((1, t, w), lambda b, g, i: (b, 0, g)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, h * d), qkv2.dtype),
+            jax.ShapeDtypeStruct((b, t, h * d), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, h * d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(2 * qkv2.size + 4 * g2.size)
+            * qkv2.dtype.itemsize,
+            transcendentals=b * h * t * t),
+    )(qkv2, qkv2, qkv2, g2, out2)
+
+
 def _fused_qkv_fwd(qkv, scale, block_q):
     out = flash_attention_fused_qkv(qkv, scale, block_q)
     return out, (qkv, out)
@@ -419,11 +532,22 @@ def _fused_qkv_fwd(qkv, scale, block_q):
 
 def _fused_qkv_bwd(scale, block_q, res, g):
     qkv, out = res
-    d = qkv.shape[-1]
+    b, t, _, h, d = qkv.shape
     s = d ** -0.5 if scale is None else scale
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-    dq, dk, dv = _flash_grads(q, k, v, g, out, s, block_q)
-    return (jnp.stack([dq, dk, dv], axis=2),)
+    hb = int(_os.environ.get("VDN_FLASH_HEADS_PER_BLOCK", "0")) \
+        or max(1, 128 // d)
+    if h % hb or (d * hb) % 128:
+        # odd head config: the staged-transpose backward
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        dq, dk, dv = _flash_grads(q, k, v, g, out, s, block_q)
+        return (jnp.stack([dq, dk, dv], axis=2),)
+    c = h * d
+    dq2, dk2, dv2 = _flash_bwd_cols(
+        qkv.reshape(b, t, 3 * c), g.reshape(b, t, c), out.reshape(b, t, c),
+        float(s), block_q, hb, h, d)
+    dqkv = jnp.concatenate(
+        [dq2, dk2.astype(qkv.dtype), dv2.astype(qkv.dtype)], axis=-1)
+    return (dqkv.reshape(b, t, 3, h, d),)
 
 
 flash_attention_fused_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)

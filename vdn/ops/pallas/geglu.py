@@ -17,6 +17,7 @@ the remat-style recompute of the plain jnp tail (custom_vjp).
 from __future__ import annotations
 
 import functools
+import math
 import os as _os
 
 import jax
@@ -133,16 +134,68 @@ def _fwd(x, ln_scale, ln_bias, w0, b0, w2, b2, eps):
 
 
 def _bwd(eps, res, g):
+    # Hand-written VJP, same rationale as vdn/ops/pallas/mlp.py::_bwd:
+    # under jax.vjp(_reference_tail) XLA re-fused the exact-GELU
+    # recompute into every grad matmul's output tiling; here the LN
+    # output, gelu(gate) product and the dg0 cotangent materialize once
+    # behind optimization_barrier.  Math tracks autodiff of
+    # _reference_tail dtype-for-dtype (tests/test_geglu_kernel.py).
     x, ln_scale, ln_bias, w0, b0, w2, b2 = res
     shape = x.shape
-    flat = lambda a: a.reshape(-1, shape[-1])
+    c = shape[-1]
+    dt = x.dtype
+    f32 = jnp.float32
+    x2 = x.reshape(-1, c)
+    g2 = g.reshape(-1, c)
+    w0_dt, w2_dt = w0.astype(dt), w2.astype(dt)
+    f = w2.shape[0]
 
-    def f(*args):
-        return _reference_tail(flat(args[0]), *args[1:], eps=eps)
+    # --- forward recompute (each stage materialized once) ---
+    xf = x2.astype(f32)
+    mean = xf.mean(-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(jnp.square(xc), -1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = xc * inv                                          # [n, c] f32
+    y = (xh * ln_scale.astype(f32)
+         + ln_bias.astype(f32)).astype(dt)
+    y = jax.lax.optimization_barrier(y)
+    g0 = jnp.matmul(y, w0_dt) + b0.astype(dt)              # [n, 2f]
+    hid, gate = g0[:, :f], g0[:, f:]
+    hid_f = hid.astype(f32)
+    gate_f = gate.astype(f32)
+    ge = _gelu_exact_f32(gate_f)
+    h = jax.lax.optimization_barrier((hid_f * ge).astype(dt))
+    # (no fc2-forward recompute needed: with no layer scale there is no
+    # dgamma, and nothing else consumes o)
 
-    _, vjp = jax.vjp(f, x, ln_scale, ln_bias, w0, b0, w2, b2)
-    grads = vjp(flat(g))
-    return (grads[0].reshape(shape),) + grads[1:]
+    # --- backward ---
+    db2 = jnp.sum(g2, axis=0).astype(b2.dtype)
+    dw2 = jnp.matmul(h.T, g2).astype(w2.dtype)
+    dh = jnp.matmul(g2, w2_dt.T).astype(f32)
+    dhid = (dh * ge).astype(dt)
+    # gelu'(z) = Phi(z) + z * phi(z); multiply-then-round order matches
+    # autodiff of _reference_tail
+    phi = jnp.exp(-0.5 * gate_f * gate_f) \
+        * (1.0 / math.sqrt(2.0 * math.pi))
+    cdf = 0.5 * (1.0 + jax.lax.erf(gate_f * (2.0 ** -0.5)))
+    dgate = (dh * hid_f * (cdf + gate_f * phi)).astype(dt)
+    dg0 = jax.lax.optimization_barrier(
+        jnp.concatenate([dhid, dgate], axis=1))
+    db0 = jnp.sum(dg0, axis=0).astype(b0.dtype)
+    dw0 = jnp.matmul(y.T, dg0).astype(w0.dtype)
+    dy = jnp.matmul(dg0, w0_dt.T)
+
+    dyf = dy.astype(f32)
+    dls = jnp.sum(dyf * xh, axis=0).astype(ln_scale.dtype)
+    dlb = jnp.sum(dyf, axis=0).astype(ln_bias.dtype)
+    dxh = dyf * ln_scale.astype(f32)
+    dxc = dxh * inv
+    dvar = jnp.sum(dxh * xc, -1, keepdims=True) * (-0.5) * inv * inv * inv
+    dxc = dxc + (2.0 / c) * xc * dvar
+    dxf = dxc - jnp.mean(dxc, -1, keepdims=True)
+    dx = (g2 + dxf.astype(dt)).reshape(shape)
+    return dx, dls, dlb, dw0, db0, dw2, db2
 
 
 fused_ln_geglu_residual.defvjp(_fwd, _bwd)
