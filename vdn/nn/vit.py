@@ -21,6 +21,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vdn.nn.layers import LayerNorm, Linear, Mlp, SwiGLUFFN, Conv2d
 from vdn.ops.attention import dot_product_attention
@@ -43,6 +44,18 @@ INTERMEDIATE_LAYER_IDX = {
     "vitl": [4, 11, 17, 23],
     "vitg": [9, 19, 29, 39],
 }
+
+
+# Block remat saves the two Pallas forward outputs instead of recomputing
+# them in the backward: `flash_out` (named in the flash custom_vjp fwd —
+# its VJP wants the forward output anyway for the FlashAttention-2 delta)
+# and `attn_res` (the attention-residual midpoint — the fused-MLP VJP's
+# recompute root).  With both saved, the flash and fused-MLP forward
+# kernels are dead code in the remat recompute; what still recomputes per
+# block is the cheap glue (LN1, qkv matmul, out-proj).  Costs two extra
+# [B, N, C] saves per block over full remat — still far below no-remat.
+REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "flash_out", "attn_res")
 
 
 class PatchEmbed(nn.Module):
@@ -134,7 +147,12 @@ class Block(nn.Module):
         y = LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)
         y = Attention(self.num_heads, self.param_dtype, self.use_flash,
                       name="attn")(y)
-        x = x + LayerScale(c, self.param_dtype, name="ls1")(y)
+        # named so REMAT_POLICY saves the midpoint: the fused-MLP VJP's
+        # residual is exactly this tensor, so with it saved the MLP
+        # forward kernel is dead code in the remat recompute (identity
+        # outside jax.checkpoint)
+        x = checkpoint_name(x + LayerScale(c, self.param_dtype, name="ls1")(y),
+                            "attn_res")
         norm2 = LayerNorm(param_dtype=self.param_dtype, name="norm2")
         ls2 = LayerScale(c, self.param_dtype, name="ls2")
         if self.ffn == "mlp":
@@ -188,7 +206,7 @@ class DinoVisionTransformer(nn.Module):
                                      (1, self.embed_dim), self.param_dtype)
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block)
+            block_cls = nn.remat(Block, policy=REMAT_POLICY)
         self.blocks = [
             block_cls(self.num_heads, self.mlp_ratio, self.ffn,
                       self.param_dtype, self.use_flash, name=f"blocks_{i}")

@@ -32,6 +32,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -299,6 +300,11 @@ def _flash_grads(q, k, v, g, out, scale: float, block_q: int):
 
 def _flash_fwd(q, k, v, scale, block_q):
     out = flash_attention(q, k, v, scale, block_q)
+    # checkpoint_name so a remat policy (save_only_these_names, see
+    # vdn/nn/vit.py REMAT_POLICY) can keep the forward output across the
+    # backward: the VJP needs `out` (FlashAttention-2 delta) and with it
+    # saved the whole forward kernel is dead code in the remat recompute.
+    out = _checkpoint_name(out, "flash_out")
     return out, (q, k, v, out)
 
 
@@ -374,9 +380,8 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
     # constraint).  More heads per grid step deepens the per-head software
     # pipeline (head j's VPU softmax overlaps head j+1's MXU dot);
     # VDN_FLASH_HEADS_PER_BLOCK overrides for sweeps.
-    hb = int(_os.environ.get("VDN_FLASH_HEADS_PER_BLOCK", "0")) \
-        or max(1, 128 // d)
-    if h % hb or (d * hb) % 128:
+    hb = pick_heads_per_block(h, d)
+    if not hb:
         # odd head config: fall back to the staged-transpose kernel
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         return flash_attention(q, k, v, scale,
@@ -525,8 +530,20 @@ def _flash_bwd_cols(qkv2, g2, out2, scale: float, block_q: int,
     )(qkv2, qkv2, qkv2, g2, out2)
 
 
+def pick_heads_per_block(h: int, d: int) -> int:
+    """Head-group width for the column-block kernels; returns 0 when the
+    (h, d) config cannot form 128-lane-multiple column blocks (callers
+    fall back to the staged-transpose path)."""
+    hb = int(_os.environ.get("VDN_FLASH_HEADS_PER_BLOCK", "0")) \
+        or max(1, 128 // d)
+    if h % hb or (d * hb) % 128:
+        return 0
+    return hb
+
+
 def _fused_qkv_fwd(qkv, scale, block_q):
     out = flash_attention_fused_qkv(qkv, scale, block_q)
+    out = _checkpoint_name(out, "flash_out")  # see _flash_fwd
     return out, (qkv, out)
 
 
@@ -534,9 +551,8 @@ def _fused_qkv_bwd(scale, block_q, res, g):
     qkv, out = res
     b, t, _, h, d = qkv.shape
     s = d ** -0.5 if scale is None else scale
-    hb = int(_os.environ.get("VDN_FLASH_HEADS_PER_BLOCK", "0")) \
-        or max(1, 128 // d)
-    if h % hb or (d * hb) % 128:
+    hb = pick_heads_per_block(h, d)
+    if not hb:
         # odd head config: the staged-transpose backward
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         dq, dk, dv = _flash_grads(q, k, v, g, out, s, block_q)
