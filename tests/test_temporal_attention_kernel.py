@@ -53,6 +53,30 @@ def test_kernel_bf16_close_to_fp32():
         rtol=0, atol=2 ** -5)
 
 
+@pytest.mark.parametrize("bn,t,c,heads", [
+    (128, 8, 256, 8),     # v4 train-window shape (t=8, mixer width)
+    (24, 32, 1024, 8),    # wide-channel block-shrink path
+])
+def test_pallas_bwd_dx_matches_xla(bn, t, c, heads):
+    """The dx backward kernel (the only live cotangent under the frozen
+    canonical recipe) against jax.vjp of the XLA reference."""
+    from vdn.ops.pallas.temporal_attention import _fused_bwd_dx_impl
+
+    args = _inputs(bn, t, c, jnp.float32, seed=3)
+    x, pe, wq, wk, wv, wo, bo = args
+    scale = (c // heads) ** -0.5
+    g = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (bn, t, c)).astype(np.float32))
+    _, vjp = jax.vjp(
+        lambda xx: xla_temporal_attention_block(
+            xx, pe, wq, wk, wv, wo, bo, heads, scale), x)
+    want, = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = _fused_bwd_dx_impl(x, pe, g, wq, wk, wv, wo, heads, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_gradients_flow_through_kernel():
     args = _inputs(40, 16, 256, jnp.float32, seed=2)
     scale = 32 ** -0.5

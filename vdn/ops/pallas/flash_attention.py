@@ -544,6 +544,10 @@ def pick_heads_per_block(h: int, d: int) -> int:
 def _fused_qkv_fwd(qkv, scale, block_q):
     out = flash_attention_fused_qkv(qkv, scale, block_q)
     out = _checkpoint_name(out, "flash_out")  # see _flash_fwd
+    # NOTE: naming qkv 'qkv' (and adding it to REMAT_POLICY) would also
+    # drop the qkv-projection matmul from the recompute (~0.9 ms/block),
+    # but the 24 x 132 MB saved projections OOM the 16 GB HBM at the
+    # vitl b2t8 train shape (measured 2026-08-18) — recompute stays.
     return out, (qkv, out)
 
 

@@ -17,10 +17,19 @@ projection, all in VMEM.  The head relayouts still happen, but as VMEM
 register shuffles instead of HBM round trips, and no [BN, H, T, T]
 tensor ever touches HBM.
 
-Differentiable via custom_vjp: the backward recomputes with the plain-XLA
-reference math (``xla_temporal_attention_block``) — remat-style, like the
-fused MLP kernel; the temporal head is frozen in the canonical v4
-training recipe so only activation gradients flow through.
+Differentiable via custom_vjp.  The activation gradient dx — the only
+cotangent that survives under the canonical v4 recipe, which freezes the
+temporal head (reference scripts/train_v4.py:493-494) — is a second
+Pallas kernel (``_bwd_kernel``) with the same VMEM-resident blocking as
+the forward: the XLA autodiff of this tiny-T shape paid the exact
+pathologies the forward kernel removes (25%-lane softmax passes, head
+relayout copies fused into the grad dots at far over their FLOP cost —
+~10 ms per attention block vs ~1 ms forward, train trace 2026-08-18).
+Weight/PE cotangents still come from jax.vjp of the plain-XLA reference
+math (``xla_temporal_attention_block``): they are dead code under the
+frozen recipe (XLA DCEs the whole branch), and when the head is
+unfrozen the duplicated shared chain is roughly offset by the dx dots
+that go dead in the XLA branch instead.
 """
 
 from __future__ import annotations
@@ -120,6 +129,112 @@ def _fused_fwd_impl(x, pe, wq, wk, wv, wo, bo, heads: int, scale: float):
       cast(wo), bo.reshape(1, c).astype(dt))
 
 
+def _bwd_kernel(x_ref, pe_ref, g_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                dx_ref, *, heads: int, scale: float):
+    """dx of the fused temporal attention block, one token block per grid
+    step.  Recomputes q/k/v/softmax in VMEM (same math as ``_kernel``),
+    then runs the attention backward per head and folds dq/dk/dv through
+    the projection transposes into one dx block — no [P, H, t, t] tensor
+    or head relayout ever reaches HBM."""
+    p, t, c = x_ref.shape
+    dh = c // heads
+    dt = x_ref.dtype
+
+    x = x_ref[...] + pe_ref[...]                       # [P, t, c]
+    x2 = x.reshape(p * t, c)
+    g2 = g_ref[...].reshape(p * t, c)
+
+    def proj(w_ref):
+        return jax.lax.dot_general(
+            x2, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)  # [P*t, c]
+
+    q = proj(wq_ref)
+    k = proj(wk_ref)
+    v = proj(wv_ref)
+
+    dqs, dks, dvs = [], [], []
+    for hh in range(heads):
+        sl = slice(hh * dh, (hh + 1) * dh)
+        qh = q[:, sl].reshape(p, t, dh)
+        kh = k[:, sl].reshape(p, t, dh)
+        vh = v[:, sl].reshape(p, t, dh)
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale    # [P, t, t] f32
+        m = jnp.max(s, axis=2, keepdims=True)
+        e = jnp.exp(s - m)
+        probs = e / jnp.sum(e, axis=2, keepdims=True)      # f32
+        pd = probs.astype(dt)
+        # d o_h: out = sum_h o_h @ wo[sl, :] + bo
+        doh = jax.lax.dot_general(
+            g2, wo_ref[sl, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt) \
+            .reshape(p, t, dh)                             # [P, t, dh]
+        dvs.append(jax.lax.dot_general(
+            pd, doh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+            .astype(dt).reshape(p * t, dh))                # [P*t, dh]
+        dp = jax.lax.dot_general(
+            doh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [P, t, t] f32
+        delta = jnp.sum(dp * probs, axis=2, keepdims=True)
+        ds = (probs * (dp - delta) * scale).astype(dt)     # [P, t, t]
+        dqs.append(jax.lax.dot_general(
+            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+            .astype(dt).reshape(p * t, dh))
+        dks.append(jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+            .astype(dt).reshape(p * t, dh))
+    dq = jnp.concatenate(dqs, axis=1)                      # [P*t, c]
+    dk = jnp.concatenate(dks, axis=1)
+    dv = jnp.concatenate(dvs, axis=1)
+
+    def unproj(dy, w_ref):  # dy @ w^T
+        return jax.lax.dot_general(
+            dy, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [P*t, c] f32
+
+    dx2 = unproj(dq, wq_ref) + unproj(dk, wk_ref) + unproj(dv, wv_ref)
+    dx_ref[...] = dx2.astype(dt).reshape(p, t, c)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale"))
+def _fused_bwd_dx_impl(x, pe, g, wq, wk, wv, wo, heads: int, scale: float):
+    bn, t, c = x.shape
+    # live set is ~2x the forward kernel's (q/k/v + dq/dk/dv + two
+    # [P, t, t] f32 logits-sized tensors): halve the token block
+    blk = max(8, min(_BLOCK_TOKENS * 128 // max(c, 256), bn))
+    grid = (pl.cdiv(bn, blk),)
+    dt = x.dtype
+    cast = lambda w: w.astype(dt)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, t, c), lambda i: (0, 0, 0)),
+            pl.BlockSpec((blk, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+            pl.BlockSpec((c, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((blk, t, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bn, t, c), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=bn * t * c * (14 * c + 10 * t),
+            bytes_accessed=3 * x.size * x.dtype.itemsize,
+            transcendentals=bn * heads * t * t),
+    )(x, pe.reshape(1, t, c).astype(dt), g.astype(dt), cast(wq), cast(wk),
+      cast(wv), cast(wo))
+
+
 def xla_temporal_attention_block(x, pe, wq, wk, wv, wo, bo, heads, scale):
     """Plain-XLA reference of the kernel math (same dtype discipline as
     vdn.nn.layers.Linear + vdn.ops.attention._xla_attention); used as the
@@ -158,6 +273,17 @@ def _fwd(x, pe, wq, wk, wv, wo, bo, heads, scale):
 
 def _bwd(heads, scale, res, g):
     x, pe, wq, wk, wv, wo, bo = res
+    if fused_temporal_enabled():
+        # dx from the Pallas kernel; weight/PE cotangents from the XLA
+        # reference vjp (dead code when the temporal head is frozen —
+        # the canonical recipe — so XLA DCEs that whole branch; its dx
+        # output is discarded, DCE-ing the XLA dx dots in exchange)
+        dx = _fused_bwd_dx_impl(x, pe, g, wq, wk, wv, wo, heads, scale)
+        _, vjp = jax.vjp(
+            lambda *a: xla_temporal_attention_block(x, *a, heads, scale),
+            pe, wq, wk, wv, wo, bo)
+        dpe, dwq, dwk, dwv, dwo, dbo = vjp(g)
+        return dx, dpe, dwq, dwk, dwv, dwo, dbo
     _, vjp = jax.vjp(
         lambda *a: xla_temporal_attention_block(*a, heads, scale),
         x, pe, wq, wk, wv, wo, bo)

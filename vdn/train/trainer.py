@@ -162,6 +162,7 @@ class RefineTrainer:
             tx = optax.multi_transform(
                 {"train": tx, "frozen": optax.set_to_zero()}, label_fn)
         self.tx = tx
+        self._freeze_temporal_head = freeze_temporal_head
         self.mesh = mesh
         if mesh is None:
             self._train_step = jax.jit(self._train_step_impl,
@@ -187,6 +188,17 @@ class RefineTrainer:
                           step=jnp.zeros((), jnp.int32))
 
     def _loss(self, params, input_depths, gt_disp, masks):
+        if self._freeze_temporal_head:
+            # stop_gradient makes the frozen leaves constants under
+            # autodiff — the trace-level equivalent of the reference's
+            # requires_grad=False (scripts/train_v4.py:493-494).  Inside
+            # the jitted step XLA already DCE'd the frozen dW matmuls
+            # (they only fed optax.set_to_zero; flop-count-verified
+            # identical), so this guards the non-jit/export paths and
+            # keeps the jaxpr honest rather than buying step time.
+            params = jax.tree_util.tree_map_with_path(
+                lambda path, x: jax.lax.stop_gradient(x)
+                if _path_contains(path, "temporal_head") else x, params)
         pred = self.model.apply(params, input_depths)
         loss_dict = video_depth_loss(pred, gt_disp, masks,
                                      **self.loss_kwargs)
