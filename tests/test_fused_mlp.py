@@ -91,6 +91,36 @@ def test_handwritten_bwd_matches_autodiff_bf16():
             rtol=0.1, atol=0.5)
 
 
+@pytest.mark.parametrize("n", [640, 700])  # 700: partial last row block
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pallas_bwd_kernel_matches_xla_bwd(n, dtype):
+    # the TPU train path uses _bwd_via_kernel (Pallas dx/y/h/dhpre +
+    # XLA dW dots); it must track the hand-written XLA _bwd, whose own
+    # correctness vs autodiff is proven above.  Partial-block case
+    # checks the row masking of the dls/dlb/db1 accumulators.
+    from vdn.ops.pallas.mlp import _bwd, _bwd_via_kernel
+
+    args = _args(n=n, c=256, f=1024, seed=5)
+    args = (args[0].astype(dtype),) + args[1:]
+    g = jnp.asarray(np.random.default_rng(11).standard_normal((n, 256)),
+                    dtype)
+    ref = _bwd(1e-6, args, g)
+    with pltpu.force_tpu_interpret_mode():
+        got = _bwd_via_kernel(1e-6, args, g)
+    # only erf/gelu' differ (A&S approx vs lax.erf, ~5e-7 pre-round) plus
+    # blockwise f32 reduction reassociation.  The f32 case is the tight
+    # formula check; under bf16 occasional 1-ulp dhpre/h flips at
+    # rounding boundaries random-walk through the 640-row reductions
+    # (same sizing rationale as test_handwritten_bwd_matches_autodiff_
+    # bf16 — a wrong term shifts grads by O(10), far above this)
+    tol = dict(rtol=5e-3, atol=5e-3) if dtype == jnp.float32 \
+        else dict(rtol=5e-2, atol=1.0)
+    for a, b in zip(ref, got):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32), **tol)
+
+
 def test_erf_approximation_accuracy():
     # A&S 7.1.26: 1.5e-7 in exact arithmetic, ~5e-7 after f32 rounding —
     # far below bf16 resolution (~4e-3)

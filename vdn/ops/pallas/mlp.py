@@ -139,6 +139,170 @@ def _ln_mlp_pallas(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     )(x2d, row(ln_scale), row(ln_bias), w1, row(b1), w2, row(b2), row(gamma))
 
 
+_BWD_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BWD_BLOCK_ROWS", "256"))
+
+
+def _mlp_bwd_dx_kernel(x_ref, g_ref, ls_ref, lb_ref, w1_ref, w1t_ref,
+                       b1_ref, w2t_ref, gam_ref,
+                       dx_ref, y_ref, h_ref, dhp_ref, dls_ref, dlb_ref,
+                       db1_ref, *, eps: float, f_chunks: int, n_total: int):
+    """One row block of the MLP-tail backward.
+
+    Recomputes LN -> fc1 -> gelu in VMEM (remat), forms dh = go @ W2^T,
+    dhpre = dh * gelu'(hpre), dy = dhpre @ W1^T and the LayerNorm
+    backward, and emits everything the XLA-side dW dots still need
+    (y, h, dhpre) plus the cross-row bias/scale reductions accumulated
+    across the sequential grid.  This replaces three XLA dot fusions
+    whose dual [n, f] outputs and erf epilogues ran at ~50-76% MXU in
+    the train trace (fusion.68 / .911 / .2494, 4.0 ms/block vs the
+    2.8 ms dense ideal).
+    """
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    x = x_ref[:]
+    g2 = g_ref[:]
+    dt = x.dtype
+    bn, c = x.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0) + i * bn
+    valid = rows < n_total                              # [bn, 1]
+
+    # --- LN forward recompute (fp32 stats, exactly the fwd kernel) ---
+    xf = x.astype(f32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(jnp.square(xc), axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = xc * inv
+    ls_f = ls_ref[:].astype(f32)
+    y = (xh * ls_f + lb_ref[:].astype(f32)).astype(dt)
+    y_ref[:] = y
+    go = g2 * gam_ref[:].astype(dt)
+
+    f = w1_ref.shape[1]
+    fc = f // f_chunks
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+    dy = None
+    for j in range(f_chunks):
+        sl = slice(j * fc, (j + 1) * fc)
+        hacc = jax.lax.dot_general(
+            y, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        h_dt = hacc.astype(dt) + b1_ref[:, sl].astype(dt)
+        hf = h_dt.astype(f32)
+        h_ref[:, sl] = _gelu_exact_f32(hf).astype(dt)
+        dh = jax.lax.dot_general(
+            go, w2t_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        # round like the unfused path's bf16 dot output, then upcast
+        dh = dh.astype(dt).astype(f32)
+        phi = jnp.exp(-0.5 * hf * hf) * inv_sqrt2pi
+        cdf = 0.5 * (1.0 + _erf_f32(hf * (2.0 ** -0.5)))
+        dhp = (dh * (cdf + hf * phi)).astype(dt)
+        dhp_ref[:, sl] = dhp
+        db1c = jnp.sum(jnp.where(valid, dhp.astype(f32), 0.0), axis=0,
+                       keepdims=True)
+
+        @pl.when(i == 0)
+        def _init():
+            db1_ref[:, sl] = db1c
+
+        @pl.when(i > 0)
+        def _acc():
+            db1_ref[:, sl] += db1c
+
+        pj = jax.lax.dot_general(
+            dhp, w1t_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        dy = pj if dy is None else dy + pj
+
+    dyf = dy.astype(dt).astype(f32)                     # one bf16 round
+    dyv = jnp.where(valid, dyf, 0.0)
+    dls_p = jnp.sum(dyv * jnp.where(valid, xh, 0.0), axis=0, keepdims=True)
+    dlb_p = jnp.sum(dyv, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _init_ln():
+        dls_ref[:] = dls_p
+        dlb_ref[:] = dlb_p
+
+    @pl.when(i > 0)
+    def _acc_ln():
+        dls_ref[:] += dls_p
+        dlb_ref[:] += dlb_p
+
+    # LayerNorm backward (fp32, matching the unfused chain)
+    dxh = dyf * ls_f
+    dxc = dxh * inv
+    dvar = jnp.sum(dxh * xc, axis=1, keepdims=True) * (-0.5) * inv * inv \
+        * inv
+    dxc = dxc + (2.0 / c) * xc * dvar
+    dxf = dxc - jnp.mean(dxc, axis=1, keepdims=True)
+    dx_ref[:] = g2 + dxf.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _mlp_bwd_dx_pallas(x2d, g2d, ln_scale, ln_bias, w1, b1, w2, gamma,
+                       eps: float):
+    """Fused backward-dx: returns (dx, y, h, dhpre, dls, dlb, db1)."""
+    n, c = x2d.shape
+    f = w1.shape[1]
+    dt = x2d.dtype
+    w1_dt = w1.astype(dt)
+    w2_dt = w2.astype(dt)
+    bn = min(n, _BWD_BLOCK_ROWS)
+    grid = (pl.cdiv(n, bn),)
+    f_chunks = _F_CHUNKS if f % _F_CHUNKS == 0 else 1
+    row = lambda a: a.reshape(1, -1)
+    kernel = functools.partial(_mlp_bwd_dx_kernel, eps=eps,
+                               f_chunks=f_chunks, n_total=n)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0))
+    rowblk = lambda width: pl.BlockSpec((bn, width), lambda i: (i, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            rowblk(c), rowblk(c), fixed((1, c)), fixed((1, c)),
+            fixed((c, f)), fixed((f, c)), fixed((1, f)), fixed((c, f)),
+            fixed((1, c)),
+        ],
+        out_specs=[
+            rowblk(c), rowblk(c), rowblk(f), rowblk(f),
+            fixed((1, c)), fixed((1, c)), fixed((1, f)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), dt),
+            jax.ShapeDtypeStruct((n, c), dt),
+            jax.ShapeDtypeStruct((n, f), dt),
+            jax.ShapeDtypeStruct((n, f), dt),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # sequential grid: the dls/dlb/db1 outputs accumulate across
+            # row blocks
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n * c * f,
+            bytes_accessed=(3 * n * c + 2 * n * f + 3 * c * f)
+            * x2d.dtype.itemsize,
+            transcendentals=2 * n * f),
+    )(x2d, g2d, row(ln_scale), row(ln_bias), w1_dt, w1_dt.T, row(b1),
+      w2_dt.T, row(gamma))
+    return outs
+
+
+def fused_mlp_bwd_enabled(rows: int) -> bool:
+    """Pallas backward-dx kernel gate (TPU hot path only; the XLA
+    hand-written VJP below remains the CPU / small-shape / reference
+    path).  VDN_DISABLE_FUSED_MLP_BWD=1 forces the XLA path."""
+    if _os.environ.get("VDN_DISABLE_FUSED_MLP_BWD"):
+        return False
+    from vdn.ops.attention import _on_tpu
+    return rows >= 2048 and _on_tpu()
+
+
 def fused_mlp_enabled(rows: int) -> bool:
     """Use the fused kernel on TPU for large token counts (the encoder
     hot path); small/CPU cases keep the reference jnp path.
@@ -203,6 +367,8 @@ def _bwd(eps, res, g):
     f32 = jnp.float32
     x2 = x.reshape(-1, c)
     g2 = g.reshape(-1, c)
+    if fused_mlp_bwd_enabled(x2.shape[0]):
+        return _bwd_via_kernel(eps, res, g)
     w1_dt, w2_dt = w1.astype(dt), w2.astype(dt)
 
     # --- forward recompute (each stage materialized once) ---
@@ -219,13 +385,23 @@ def _bwd(eps, res, g):
     hf = hpre.astype(f32)
     h = jax.lax.optimization_barrier(
         jax.nn.gelu(hf, approximate=False).astype(dt))
-    o = jnp.matmul(h, w2_dt) + b2.astype(dt)               # fc2 out
 
     # --- backward ---
+    # dgamma = sum_n g2 * o needs the fc2 output o — recomputing it is a
+    # full [n,f]x[f,c] matmul whose only consumer is a [c] vector (0.98
+    # ms/block in the vitl train trace).  Reassociate instead: with
+    # S = h^T @ g2 (needed anyway: dW2 = S * gamma column-scaled) and
+    # t = colsum(g2),   dgamma = colsum_f(W2 * S) + b2 * t   exactly
+    # (o = h@W2 + b2 substituted and the n/f sums swapped) — the fc2
+    # recompute disappears and dW2's operand go is replaced by g2.
     go = g2 * gamma.astype(dt)
-    dgamma = jnp.sum(g2 * o, axis=0).astype(gamma.dtype)
-    db2 = jnp.sum(go, axis=0).astype(b2.dtype)
-    dw2 = jnp.matmul(h.T, go).astype(w2.dtype)
+    gam_f = gamma.astype(f32)
+    t = jnp.sum(g2.astype(f32), axis=0)
+    s_mat = jnp.matmul(h.T, g2).astype(f32)                # [f, c]
+    dw2 = (s_mat * gam_f).astype(w2.dtype)
+    dgamma = (jnp.sum(w2.astype(f32) * s_mat, axis=0)
+              + b2.astype(f32) * t).astype(gamma.dtype)
+    db2 = (gam_f * t).astype(b2.dtype)
     dh = jnp.matmul(go, w2_dt.T)
     # gelu'(z) = Phi(z) + z * phi(z); the f32 multiply-then-round order
     # matches autodiff of _reference_tail exactly.  The barrier on dhpre
@@ -250,6 +426,32 @@ def _bwd(eps, res, g):
     dxf = dxc - jnp.mean(dxc, -1, keepdims=True)
     dx = (g2 + dxf.astype(dt)).reshape(shape)
     return dx, dls, dlb, dw1, db1, dw2, db2, dgamma
+
+
+def _bwd_via_kernel(eps, res, g):
+    """Kernel-path backward: _mlp_bwd_dx_pallas for dx/y/h/dhpre and the
+    LN/bias reductions, XLA dots only for dW1/dW2 (+ the reassociated
+    dgamma — see the note in the XLA path)."""
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma = res
+    shape = x.shape
+    c = shape[-1]
+    f32 = jnp.float32
+    x2 = x.reshape(-1, c)
+    g2 = g.reshape(-1, c)
+    dx2, y, h, dhpre, dls, dlb, db1 = _mlp_bwd_dx_pallas(
+        x2, g2, ln_scale, ln_bias, w1, b1, w2, gamma, eps)
+    gam_f = gamma.astype(f32)
+    t = jnp.sum(g2.astype(f32), axis=0)
+    s_mat = jnp.matmul(h.T, g2).astype(f32)                # [f, c]
+    dw2 = (s_mat * gam_f).astype(w2.dtype)
+    dgamma = (jnp.sum(w2.astype(f32) * s_mat, axis=0)
+              + b2.astype(f32) * t).astype(gamma.dtype)
+    db2 = (gam_f * t).astype(b2.dtype)
+    dw1 = jnp.matmul(y.T, dhpre).astype(w1.dtype)
+    return (dx2.reshape(shape),
+            dls.reshape(-1).astype(ln_scale.dtype),
+            dlb.reshape(-1).astype(ln_bias.dtype),
+            dw1, db1.reshape(-1).astype(b1.dtype), dw2, db2, dgamma)
 
 
 fused_ln_mlp_residual.defvjp(_fwd, _bwd)
