@@ -100,7 +100,7 @@ def test_v1_trainer_step():
     trainer = V1Trainer(model, initial_lr=1e-4, stable_scale=1.0)
     state = trainer.init_state(params)
     losses = []
-    for _ in range(3):
+    for _ in range(2):
         state, ld = trainer.train_step(state, batch)
         losses.append(float(ld["total_loss"]))
         assert "normal_loss" in ld
@@ -141,14 +141,14 @@ def test_async_checkpoint_deterministic_resume(tiny_setup, tmp_path):
     trainer = RefineTrainer(model, initial_lr=1e-3, stable_scale=1.0)
     state = trainer.init_state(fresh(params))
 
-    # uninterrupted: 4 steps
-    ref_state, ref_losses = run(4, state, trainer)
+    # uninterrupted: 2 steps
+    ref_state, ref_losses = run(2, state, trainer)
 
-    # interrupted: 2 steps, async save, restore, 2 more
+    # interrupted: 1 step, async save, restore, 1 more
     ckpt = TrainCheckpointer(str(tmp_path / "ckpt"), max_to_keep=2)
     state2 = trainer.init_state(fresh(params))
-    state2, first = run(2, state2, trainer)
-    ckpt.save(2, {"state": state2, "epoch": 1})
+    state2, first = run(1, state2, trainer)
+    ckpt.save(1, {"state": state2, "epoch": 1})
     ckpt.wait()
 
     trainer_b = RefineTrainer(model, initial_lr=1e-3, stable_scale=1.0)
@@ -156,8 +156,8 @@ def test_async_checkpoint_deterministic_resume(tiny_setup, tmp_path):
     restored = ckpt.restore_latest(template)
     assert restored is not None and int(restored["epoch"]) == 1
     state3 = restored["state"]
-    assert int(state3.step) == 2
-    _, resumed = run(2, state3, trainer_b)
+    assert int(state3.step) == 1
+    _, resumed = run(1, state3, trainer_b)
     ckpt.close()
 
     np.testing.assert_allclose(first + resumed, ref_losses,

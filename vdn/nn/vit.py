@@ -55,7 +55,7 @@ INTERMEDIATE_LAYER_IDX = {
 # block is the cheap glue (LN1, qkv matmul, out-proj).  Costs two extra
 # [B, N, C] saves per block over full remat — still far below no-remat.
 REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
-    "flash_out", "attn_res")
+    "flash_out", "flash_lse", "attn_res")
 
 
 class PatchEmbed(nn.Module):

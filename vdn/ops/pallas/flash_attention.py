@@ -317,11 +317,15 @@ def _flash_bwd(scale, block_q, res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *lse_ref, scale: float,
                        heads_per_block: int, d: int):
     # blocks are 128-wide column slices of the [B, T, 3C] fused qkv tensor
     # (= heads_per_block heads of width d side by side): q [1, bq, hb*d],
-    # k/v [1, tk, hb*d], o [1, bq, hb*d]
+    # k/v [1, tk, hb*d], o [1, bq, hb*d].  With the optional lse_ref
+    # (training forward), each head's row log-sum-exp (base 2: m +
+    # log2(l)) is written as a [bq, hb] column block so the backward can
+    # recompute the *normalized* softmax without the [bq, tk] cross-lane
+    # max/sum reductions (FlashAttention-2 statistics reuse).
     q2 = q_ref[0]                                        # [bq, hb*d]
     k2 = k_ref[0]                                        # [tk, hb*d]
     v2 = v_ref[0]
@@ -341,20 +345,30 @@ def _flash_cols_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     else:
         ss = None
     tk = v2.shape[0]
-    outs = []
+    outs, lses = [], []
     for hh, sl in enumerate(sls):
         s = ss[hh] if ss is not None else jax.lax.dot_general(
             q2[:, sl] * c2, k2[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [bq, tk] f32
-        p = _softmax_rows(s, axis=1, v_dtype=v2.dtype)
+        m = jnp.max(s, axis=1, keepdims=True)
+        t = s - m
+        if _BF16_EXP and v2.dtype == jnp.bfloat16:
+            p = jnp.exp2(t.astype(jnp.bfloat16))
+        else:
+            p = jnp.exp2(t).astype(v2.dtype)
         # row sum rides the AV matmul as a ones column (see _softmax_rows)
         vx = jnp.concatenate(
             [v2[:, sl], jnp.ones((tk, 1), v2.dtype)], axis=1)
         pv = jax.lax.dot_general(
             p, vx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [bq, d+1]
-        outs.append(pv[:, :d] / pv[:, d:d + 1])
+        l = pv[:, d:d + 1]
+        outs.append(pv[:, :d] / l)
+        if lse_ref:
+            lses.append(m + jnp.log2(l))                 # [bq, 1] f32
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    if lse_ref:
+        lse_ref[0][0, 0] = jnp.concatenate(lses, axis=1).T  # [hb, bq]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -386,6 +400,16 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         return flash_attention(q, k, v, scale,
                                block_q).reshape(b, t, h, d)
+    out = _flash_cols_call(qkv, float(scale), block_q, hb, save_lse=False)
+    return out.reshape(b, t, h, d)
+
+
+def _flash_cols_call(qkv, scale: float, block_q: int, hb: int,
+                     save_lse: bool):
+    """pallas_call builder for the column-block forward.  save_lse=True
+    (training forward) adds a [B, n_colblocks, hb, T] fp32 log-sum-exp
+    output and returns (out2 [B,T,C], lse); False returns out2 alone."""
+    b, t, three, h, d = qkv.shape
     c = h * d
     qkv2 = qkv.reshape(b, t, 3 * c)
     n_colblocks = h // hb
@@ -393,8 +417,21 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
     grid = (b, n_colblocks, pl.cdiv(t, bq))
     w = hb * d
     flops = 4 * b * h * t * t * d
-    out = pl.pallas_call(
-        functools.partial(_flash_cols_kernel, scale=float(scale),
+    out_specs = [pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g))]
+    out_shape = [jax.ShapeDtypeStruct((b, t, c), qkv.dtype)]
+    if save_lse:
+        # lse is [B, n_colblocks, hb, T]: T must be the minor (lane) axis
+        # — a [.., T, hb] layout pads hb=2 to 128 lanes (64x HBM blow-up,
+        # 86 MB/layer, OOMed the b2t8 train step), and a [B, T, H] layout
+        # would need lane-dim blocks slicing H in non-128 multiples,
+        # which Mosaic rejects.  The [bq,1]<->[1,bq] transposes this
+        # costs in the kernels are ~bq elements each.
+        out_specs.append(
+            pl.BlockSpec((1, 1, hb, bq), lambda b, g, i: (b, g, 0, i)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, n_colblocks, hb, t), jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(_flash_cols_kernel, scale=scale,
                           heads_per_block=hb, d=d),
         grid=grid,
         in_specs=[
@@ -404,8 +441,8 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
             pl.BlockSpec((1, t, w),
                          lambda b, g, i, _n=n_colblocks: (b, 0, 2 * _n + g)),
         ],
-        out_specs=pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        out_specs=out_specs if save_lse else out_specs[0],
+        out_shape=out_shape if save_lse else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -414,10 +451,10 @@ def flash_attention_fused_qkv(qkv: jnp.ndarray, scale: Optional[float] = None,
             bytes_accessed=(qkv.size + qkv.size // 3) * qkv.dtype.itemsize,
             transcendentals=b * h * t * t),
     )(qkv2, qkv2, qkv2)
-    return out.reshape(b, t, h, d)
+    return res
 
 
-def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref,
+def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref, lse_ref,
                            dq_ref, dk_ref, dv_ref,
                            *, scale: float, heads_per_block: int, d: int,
                            tq: int, bq: int):
@@ -426,11 +463,15 @@ def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref,
     the same zero-staging layout as `_flash_cols_kernel`, so none of the
     [B,T,H,D] slices or [B*H,T,D] relayouts of `_flash_grads` are ever
     materialized (the staged path cost ~11 bandwidth-bound HBM copies per
-    encoder layer in the train step).  Same FlashAttention-2 math as
-    `_flash_bwd_kernel` (delta from the saved forward output, 1/l folded
-    into [bq, d] row rescales, base-2 softmax recompute); dk/dv
-    accumulate across the sequential q-block grid axis in VMEM-resident
-    fp32 column blocks."""
+    encoder layer in the train step).  FlashAttention-2 statistics reuse:
+    the forward's per-row base-2 log-sum-exp (lse_ref) turns the softmax
+    recompute into one exp2 — the *normalized* p = exp2(s - lse) comes out
+    directly, deleting the [bq, tk] cross-lane max and sum reductions and
+    all 1/l rescales of the previous revision.  delta = rowsum(g * out)
+    from the saved forward output; dk/dv accumulate across the sequential
+    q-block grid axis in VMEM-resident fp32 column blocks.  The dv/dp
+    dots run with bf16 operands (p is <= 1 and fed the AV dot in bf16 on
+    the forward anyway; accumulation stays fp32)."""
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -443,6 +484,7 @@ def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref,
     v2 = qkv_v[0]
     g2 = g_ref[0]
     o2 = out_ref[0]
+    lse2 = lse_ref[0, 0]                                 # [hb, bq] f32
     # rows past tq are block padding (undefined): zero every operand that
     # feeds a cross-row reduction (a padded NaN times a zeroed row is
     # still NaN, so select, don't multiply)
@@ -456,28 +498,32 @@ def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref,
         k = k2[:, sl]
         v = v2[:, sl]
         g = jnp.where(valid, g2[:, sl].astype(jnp.float32), 0.0)
+        gc = g.astype(q2.dtype)
         s = jax.lax.dot_general(
             q * c2, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [bq, tk] f32
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.where(valid, jnp.exp2(s - m), 0.0)       # unnormalized
+        # padded rows: q is zeroed (s = 0) and lse is selected to 0, so
+        # p = exp2(0) = 1 — finite — and the zeroed g/delta null every
+        # contribution.  Masking the [bq, 1] lse instead of the [bq, tk]
+        # p deletes a full cross-block VPU select pass.
+        lse = jnp.where(valid, lse2[hh:hh + 1, :].T, 0.0)  # [bq, 1]
+        p = jnp.exp2(s - lse)                            # normalized
         delta = jnp.where(valid, jnp.sum(
             g * o2[:, sl].astype(jnp.float32), axis=1, keepdims=True), 0.0)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+        pc = p.astype(q2.dtype)
         dvs.append(jax.lax.dot_general(
-            p, g * inv_l, (((0,), (0,)), ((), ())),
+            pc, gc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))         # [tk, d]
         dp = jax.lax.dot_general(
-            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            gc, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [bq, tk]
         t = p * (dp - delta)
         tc = t.astype(q2.dtype)
         dqs.append(jax.lax.dot_general(
             tc, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * (inv_l * scale))
+            preferred_element_type=jnp.float32) * scale)
         dks.append(jax.lax.dot_general(
-            tc, (q * inv_l).astype(q2.dtype), (((0,), (0,)), ((), ())),
+            tc, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale)  # [tk, d]
     dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
     dk_ref[0] += jnp.concatenate(dks, axis=1)
@@ -486,9 +532,10 @@ def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("scale", "block_q", "hb", "h", "d"))
-def _flash_bwd_cols(qkv2, g2, out2, scale: float, block_q: int,
+def _flash_bwd_cols(qkv2, g2, out2, lse2, scale: float, block_q: int,
                     hb: int, h: int, d: int):
-    """qkv2 [B, T, 3C], g2/out2 [B, T, C] -> (dq2, dk2, dv2) [B, T, C]
+    """qkv2 [B, T, 3C], g2/out2 [B, T, C], lse2 [B, n_colblocks, hb, T]
+    fp32 (forward row log-sum-exp, base 2) -> (dq2, dk2, dv2) [B, T, C]
     (dk2/dv2 fp32 accumulators; caller casts and concatenates)."""
     b, t, _ = qkv2.shape
     n = h // hb
@@ -508,6 +555,7 @@ def _flash_bwd_cols(qkv2, g2, out2, scale: float, block_q: int,
                          lambda b, g, i, _n=n: (b, 0, 2 * _n + g)),
             pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
             pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+            pl.BlockSpec((1, 1, hb, bq), lambda b, g, i: (b, g, 0, i)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
@@ -527,7 +575,7 @@ def _flash_bwd_cols(qkv2, g2, out2, scale: float, block_q: int,
             bytes_accessed=(2 * qkv2.size + 4 * g2.size)
             * qkv2.dtype.itemsize,
             transcendentals=b * h * t * t),
-    )(qkv2, qkv2, qkv2, g2, out2)
+    )(qkv2, qkv2, qkv2, g2, out2, lse2)
 
 
 def pick_heads_per_block(h: int, d: int) -> int:
@@ -542,17 +590,28 @@ def pick_heads_per_block(h: int, d: int) -> int:
 
 
 def _fused_qkv_fwd(qkv, scale, block_q):
-    out = flash_attention_fused_qkv(qkv, scale, block_q)
+    b, t, three, h, d = qkv.shape
+    s = d ** -0.5 if scale is None else scale
+    hb = pick_heads_per_block(h, d)
+    if not hb:
+        out = flash_attention_fused_qkv(qkv, scale, block_q)
+        out = _checkpoint_name(out, "flash_out")
+        return out, (qkv, out, None)
+    # training forward: the lse-emitting kernel variant, so the backward
+    # recomputes the normalized softmax with one exp2 (no max/sum)
+    out2, lse = _flash_cols_call(qkv, float(s), block_q, hb, save_lse=True)
+    out = out2.reshape(b, t, h, d)
     out = _checkpoint_name(out, "flash_out")  # see _flash_fwd
+    lse = _checkpoint_name(lse, "flash_lse")
     # NOTE: naming qkv 'qkv' (and adding it to REMAT_POLICY) would also
     # drop the qkv-projection matmul from the recompute (~0.9 ms/block),
     # but the 24 x 132 MB saved projections OOM the 16 GB HBM at the
     # vitl b2t8 train shape (measured 2026-08-18) — recompute stays.
-    return out, (qkv, out)
+    return out, (qkv, out, lse)
 
 
 def _fused_qkv_bwd(scale, block_q, res, g):
-    qkv, out = res
+    qkv, out, lse = res
     b, t, _, h, d = qkv.shape
     s = d ** -0.5 if scale is None else scale
     hb = pick_heads_per_block(h, d)
@@ -564,7 +623,7 @@ def _fused_qkv_bwd(scale, block_q, res, g):
     c = h * d
     dq2, dk2, dv2 = _flash_bwd_cols(
         qkv.reshape(b, t, 3 * c), g.reshape(b, t, c), out.reshape(b, t, c),
-        float(s), block_q, hb, h, d)
+        lse, float(s), block_q, hb, h, d)
     dqkv = jnp.concatenate(
         [dq2, dk2.astype(qkv.dtype), dv2.astype(qkv.dtype)], axis=-1)
     return (dqkv.reshape(b, t, 3, h, d),)

@@ -99,7 +99,11 @@ def _fused_fwd_impl(x, pe, wq, wk, wv, wo, bo, heads: int, scale: float):
     # scale the token block inversely with channel width: the live set is
     # ~11 block-sized tensors (x, q/k/v pre+post head-relayout, fp32
     # logits, pv, out) + double-buffered in/out + weights; c=1024 at 128
-    # tokens overflowed the 128 MB VMEM by 13 MB
+    # tokens overflowed the 128 MB VMEM by 13 MB.  NOTE a t-aware variant
+    # (4x larger blocks at the t=8 train shape) was A/B'd 2026-08-19 and
+    # LOST: fwd 7.10 -> 7.96 ms, bwd 14.57 -> 16.93 ms per step — small
+    # blocks pipeline the x DMA against the MXU better (same finding as
+    # the fused-MLP 256-row sweep).
     blk = max(8, min(_BLOCK_TOKENS * 256 // max(c, 256), bn))
     grid = (pl.cdiv(bn, blk),)
     dt = x.dtype
@@ -206,6 +210,7 @@ def _fused_bwd_dx_impl(x, pe, g, wq, wk, wv, wo, heads: int, scale: float):
     bn, t, c = x.shape
     # live set is ~2x the forward kernel's (q/k/v + dq/dk/dv + two
     # [P, t, t] f32 logits-sized tensors): halve the token block
+    # (t-aware 4x-larger blocks lost the A/B — see _fused_fwd_impl)
     blk = max(8, min(_BLOCK_TOKENS * 128 // max(c, 256), bn))
     grid = (pl.cdiv(bn, blk),)
     dt = x.dtype
