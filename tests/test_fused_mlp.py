@@ -129,3 +129,37 @@ def test_erf_approximation_accuracy():
     approx = _erf_f32(x)
     exact = jax.lax.erf(x)
     assert float(jnp.abs(approx - exact).max()) < 1e-6
+
+
+def test_fast_gelu_accuracy():
+    # bf16 compute uses the tanh-form GELU: max abs error vs exact is
+    # 4.7e-4 (gelu) / 8.7e-4 (gelu') — both far below the 3.1e-2 bf16
+    # ROUNDING error of exact gelu, so the bf16 activations are
+    # indistinguishable from the erf form after the round
+    from vdn.ops.pallas.mlp import _dgelu_f32, _gelu_fast_f32
+
+    x = jnp.linspace(-8.0, 8.0, 40001, dtype=jnp.float32)
+    exact = x * jax.scipy.stats.norm.cdf(x)
+    assert float(jnp.abs(_gelu_fast_f32(x) - exact).max()) < 6e-4
+    dexact = jax.vmap(jax.grad(lambda v: v * jax.scipy.stats.norm.cdf(v)))(x)
+    g, dg = _dgelu_f32(x, jnp.bfloat16)
+    assert float(jnp.abs(g - exact).max()) < 6e-4
+    assert float(jnp.abs(dg - dexact).max()) < 1.2e-3
+    # fp32 compute keeps the exact erf form
+    g32, dg32 = _dgelu_f32(x, jnp.float32)
+    assert float(jnp.abs(g32 - exact).max()) < 1e-6
+    assert float(jnp.abs(dg32 - dexact).max()) < 2e-6
+
+
+def test_fused_ln_mlp_forward_bf16_fast_gelu():
+    # production path: bf16 compute + tanh-GELU kernel vs the bf16
+    # exact-erf reference — difference bounded by the fast-gelu error
+    # propagated through fc2 (well under the bf16 matmul rounding)
+    args = _args()
+    args = (args[0].astype(jnp.bfloat16),) + args[1:]
+    ref = _reference_tail(*args, eps=1e-6)
+    with pltpu.force_tpu_interpret_mode():
+        out = _ln_mlp_pallas(*args, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0, atol=0.08)

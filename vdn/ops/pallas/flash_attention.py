@@ -507,18 +507,30 @@ def _flash_bwd_cols_kernel(qkv_q, qkv_k, qkv_v, g_ref, out_ref, lse_ref,
         # contribution.  Masking the [bq, 1] lse instead of the [bq, tk]
         # p deletes a full cross-block VPU select pass.
         lse = jnp.where(valid, lse2[hh:hh + 1, :].T, 0.0)  # [bq, 1]
-        p = jnp.exp2(s - lse)                            # normalized
         delta = jnp.where(valid, jnp.sum(
             g * o2[:, sl].astype(jnp.float32), axis=1, keepdims=True), 0.0)
-        pc = p.astype(q2.dtype)
+        if _BF16_EXP and q2.dtype == jnp.bfloat16:
+            # all [bq, tk] elementwise math in bf16 (half-width VPU
+            # passes): the exponent rounding argument is the forward's
+            # (_softmax_rows) — large-|s-lse| rows have tiny p where the
+            # relative error lands; dS = p*(dp-delta) inherits bf16
+            # noise ~0.4% relative, the same scale as the bf16 rounding
+            # of tc/gc the exact path already applies before its dots.
+            pc = jnp.exp2((s - lse).astype(jnp.bfloat16))
+            dp = jax.lax.dot_general(
+                gc, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bq, tk]
+            tc = pc * (dp - delta).astype(jnp.bfloat16)
+        else:
+            p = jnp.exp2(s - lse)                        # normalized
+            pc = p.astype(q2.dtype)
+            dp = jax.lax.dot_general(
+                gc, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [bq, tk]
+            tc = (p * (dp - delta)).astype(q2.dtype)
         dvs.append(jax.lax.dot_general(
             pc, gc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))         # [tk, d]
-        dp = jax.lax.dot_general(
-            gc, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [bq, tk]
-        t = p * (dp - delta)
-        tc = t.astype(q2.dtype)
         dqs.append(jax.lax.dot_general(
             tc, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale)

@@ -17,7 +17,6 @@ the remat-style recompute of the plain jnp tail (custom_vjp).
 from __future__ import annotations
 
 import functools
-import math
 import os as _os
 
 import jax
@@ -25,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vdn.ops.pallas.mlp import _gelu_exact_f32
+from vdn.ops.pallas.mlp import _dgelu_f32, _gelu_exact_f32, _gelu_f32
 
 _BLOCK_ROWS = int(_os.environ.get("VDN_GEGLU_BLOCK_ROWS", "256"))
 _F_CHUNKS = int(_os.environ.get("VDN_GEGLU_F_CHUNKS", "4"))
@@ -56,7 +55,8 @@ def _geglu_kernel(x_ref, ls_ref, lb_ref, w0_ref, b0_ref, w2_ref, b2_ref,
             preferred_element_type=jnp.float32)
         gate = (gate.astype(x.dtype)
                 + b0_ref[:, slg].astype(x.dtype)).astype(jnp.float32)
-        h = (hid.astype(jnp.float32) * _gelu_exact_f32(gate)).astype(
+        # bf16 compute uses the tanh-form GELU (see vdn/ops/pallas/mlp.py)
+        h = (hid.astype(jnp.float32) * _gelu_f32(gate, x.dtype)).astype(
             x.dtype)
         pj = jax.lax.dot_general(
             h, w2_ref[sl, :], (((1,), (0,)), ((), ())),
@@ -164,7 +164,8 @@ def _bwd(eps, res, g):
     hid, gate = g0[:, :f], g0[:, f:]
     hid_f = hid.astype(f32)
     gate_f = gate.astype(f32)
-    ge = _gelu_exact_f32(gate_f)
+    # matches the forward kernel's gelu flavor (fast tanh form on bf16)
+    ge, dge = _dgelu_f32(gate_f, dt)
     h = jax.lax.optimization_barrier((hid_f * ge).astype(dt))
     # (no fc2-forward recompute needed: with no layer scale there is no
     # dgamma, and nothing else consumes o)
@@ -174,12 +175,9 @@ def _bwd(eps, res, g):
     dw2 = jnp.matmul(h.T, g2).astype(w2.dtype)
     dh = jnp.matmul(g2, w2_dt.T).astype(f32)
     dhid = (dh * ge).astype(dt)
-    # gelu'(z) = Phi(z) + z * phi(z); multiply-then-round order matches
-    # autodiff of _reference_tail
-    phi = jnp.exp(-0.5 * gate_f * gate_f) \
-        * (1.0 / math.sqrt(2.0 * math.pi))
-    cdf = 0.5 * (1.0 + jax.lax.erf(gate_f * (2.0 ** -0.5)))
-    dgate = (dh * hid_f * (cdf + gate_f * phi)).astype(dt)
+    # gelu'(z): multiply-then-round order matches autodiff of
+    # _reference_tail (exact erf flavor; tanh-form derivative on bf16)
+    dgate = (dh * hid_f * dge).astype(dt)
     dg0 = jax.lax.optimization_barrier(
         jnp.concatenate([dhid, dgate], axis=1))
     db0 = jnp.sum(dg0, axis=0).astype(b0.dtype)
