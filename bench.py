@@ -89,7 +89,12 @@ def main():
         return
     from vdn.models.video_depth_anything import build_video_depth_anything
 
-    model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16)
+    # --int8: the W8A8-dynamic serving mode (vdn/ops/pallas/int8.py).
+    # The headline metric stays bf16 (numerics-faithful to the
+    # reference); the int8 number is reported with its own metric name.
+    quantize = "int8" if "--int8" in sys.argv else None
+    model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16,
+                                       quantize=quantize)
     rng = jax.random.PRNGKey(0)
     init_x = jnp.zeros((1, 2, 56, 56, 3), jnp.float32)
     params = jax.jit(model.init)(rng, init_x)
@@ -105,8 +110,11 @@ def main():
     per_window = (t_large - t_small) / (K_LARGE - K_SMALL)
 
     fps = FRAMES / per_window
+    metric = "video_depth_vitl_518_frames_per_sec_per_chip"
+    if quantize:
+        metric += f"_{quantize}"
     print(json.dumps({
-        "metric": "video_depth_vitl_518_frames_per_sec_per_chip",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),

@@ -64,12 +64,16 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--encoder", default="vitl")
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the W8A8 serving path (trace goes to "
+                         "profiles/clip_int8)")
     args = ap.parse_args()
 
     from vdn.models.video_depth_anything import build_video_depth_anything
 
-    model = build_video_depth_anything(args.encoder,
-                                       compute_dtype=jnp.bfloat16)
+    model = build_video_depth_anything(
+        args.encoder, compute_dtype=jnp.bfloat16,
+        quantize="int8" if args.int8 else None)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng, jnp.zeros((1, 2, 56, 56, 3),
                                                 jnp.float32))
@@ -104,7 +108,8 @@ def main():
     if args.trace:
         import os
         trace_dir = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "profiles", "clip")
+            os.path.abspath(__file__))), "profiles",
+            "clip_int8" if args.int8 else "clip")
         with jax.profiler.trace(trace_dir):
             out = fwd(params, x)
             # force real completion before a second distinct dispatch

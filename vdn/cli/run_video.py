@@ -33,6 +33,10 @@ def main(argv=None):
     parser.add_argument("--grayscale", action="store_true")
     parser.add_argument("--compute-dtype", default="bf16",
                         choices=["fp32", "bf16"])
+    parser.add_argument("--int8", action="store_true",
+                        help="W8A8-dynamic int8 encoder matmuls (serving "
+                             "mode; ~2x MXU rate on v5e, quantization "
+                             "noise bounded in tests/test_int8.py)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -44,7 +48,9 @@ def main(argv=None):
     from vdn.utils.video_io import read_video_frames, save_video
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bf16" else jnp.float32
-    model = build_video_depth_anything(args.encoder, compute_dtype=dtype)
+    model = build_video_depth_anything(
+        args.encoder, compute_dtype=dtype,
+        quantize="int8" if args.int8 else None)
     params = {"params": convert_torch_state(
         load_torch_checkpoint(args.checkpoint))}
 

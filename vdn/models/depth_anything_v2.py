@@ -37,10 +37,14 @@ class DepthAnythingV2(nn.Module):
     compute_dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
     remat: bool = False
+    # "int8": serving-only W8A8-dynamic encoder matmuls (no VJP —
+    # inference pipelines only; see vdn/ops/pallas/int8.py)
+    quantize: Optional[str] = None
 
     def setup(self):
         self.pretrained = make_vit(self.encoder, self.param_dtype,
-                                   self.use_flash, self.remat)
+                                   self.use_flash, self.remat,
+                                   quantize=self.quantize)
         self.memory_block = MemoryBlock(
             self.pretrained.embed_dim, self.max_memory_length,
             self.num_mem_attention_layers, self.param_dtype)

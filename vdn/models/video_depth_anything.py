@@ -40,10 +40,14 @@ class VideoDepthAnything(nn.Module):
     # must then run under shard_map with the clip's T axis sharded on it
     # (vdn.parallel.context.make_context_parallel_forward)
     seq_axis: Optional[str] = None
+    # "int8": serving-only W8A8-dynamic encoder matmuls (no VJP —
+    # inference pipelines only; see vdn/ops/pallas/int8.py)
+    quantize: Optional[str] = None
 
     def setup(self):
         self.pretrained = make_vit(self.encoder, self.param_dtype,
-                                   self.use_flash, self.remat)
+                                   self.use_flash, self.remat,
+                                   quantize=self.quantize)
         self.head = DPTHeadTemporal(
             in_channels=self.pretrained.embed_dim, features=self.features,
             out_channels=self.out_channels, num_frames=self.num_frames,

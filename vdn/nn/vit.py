@@ -104,14 +104,31 @@ class Attention(nn.Module):
     num_heads: int
     param_dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
+    quantize: Optional[str] = None  # "int8": W8A8-dynamic qkv/proj dots
 
     @nn.compact
-    def __call__(self, x):  # [B, N, C]
+    def __call__(self, x, ln=None, residual=None, gamma=None):
+        """x [B, N, C].  On the int8 serving path the caller passes the
+        pre-LN tokens plus (ln scale, bias) — the LN runs inside the qkv
+        kernel — and `residual`/`gamma` to absorb the LayerScale +
+        block-residual into the out-projection kernel (with Pallas calls
+        on both sides those epilogues would otherwise become standalone
+        VPU passes over HBM; see vdn/ops/pallas/int8.py)."""
         from vdn.ops.attention import flash_enabled
 
         b, n, c = x.shape
         h = self.num_heads
-        qkv = Linear(3 * c, param_dtype=self.param_dtype, name="qkv")(x)
+        qkv_lin = Linear(3 * c, param_dtype=self.param_dtype, name="qkv")
+        if self._int8(b * n):
+            from vdn.ops.pallas.int8 import int8_ln_linear, int8_linear
+            wq, bq = qkv_lin(x, params_only=True)
+            if ln is not None:
+                qkv = int8_ln_linear(x, ln[0], ln[1], wq, bq)
+            else:
+                qkv = int8_linear(x, wq, bq)
+        else:
+            assert ln is None  # float path: caller pre-norms
+            qkv = qkv_lin(x)
         qkv = qkv.reshape(b, n, 3, h, c // h)
         use_flash = self.use_flash
         if use_flash is None:
@@ -128,7 +145,22 @@ class Attention(nn.Module):
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             out = dot_product_attention(q, k, v, use_flash=False)
         out = out.reshape(b, n, c)
-        return Linear(c, param_dtype=self.param_dtype, name="proj")(out)
+        proj = Linear(c, param_dtype=self.param_dtype, name="proj")
+        if self._int8(b * n):
+            from vdn.ops.pallas.int8 import (int8_linear,
+                                             int8_proj_residual)
+            wp, bp = proj(out, params_only=True)
+            if residual is not None:
+                return int8_proj_residual(out, residual, wp, bp, gamma)
+            return int8_linear(out, wp, bp)
+        assert residual is None
+        return proj(out)
+
+    def _int8(self, rows: int) -> bool:
+        if self.quantize != "int8":
+            return False
+        from vdn.ops.pallas.int8 import int8_serving_enabled
+        return int8_serving_enabled(rows)
 
 
 class Block(nn.Module):
@@ -137,6 +169,7 @@ class Block(nn.Module):
     ffn: str = "mlp"
     param_dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
+    quantize: Optional[str] = None  # "int8": W8A8-dynamic weight matmuls
 
     @nn.compact
     def __call__(self, x):
@@ -144,21 +177,41 @@ class Block(nn.Module):
             fused_mlp_enabled
 
         c = x.shape[-1]
-        y = LayerNorm(param_dtype=self.param_dtype, name="norm1")(x)
-        y = Attention(self.num_heads, self.param_dtype, self.use_flash,
-                      name="attn")(y)
-        # named so REMAT_POLICY saves the midpoint: the fused-MLP VJP's
-        # residual is exactly this tensor, so with it saved the MLP
-        # forward kernel is dead code in the remat recompute (identity
-        # outside jax.checkpoint)
-        x = checkpoint_name(x + LayerScale(c, self.param_dtype, name="ls1")(y),
-                            "attn_res")
+        rows = x.shape[0] * x.shape[1]
+        int8_path = False
+        if self.quantize == "int8":
+            from vdn.ops.pallas.int8 import int8_serving_enabled
+            int8_path = int8_serving_enabled(rows)
+        norm1 = LayerNorm(param_dtype=self.param_dtype, name="norm1")
+        ls1 = LayerScale(c, self.param_dtype, name="ls1")
+        attn = Attention(self.num_heads, self.param_dtype, self.use_flash,
+                         self.quantize, name="attn")
+        if int8_path:
+            # LN1 rides inside the int8 qkv kernel; LayerScale + the
+            # block residual ride the out-projection kernel epilogue
+            ln_s, ln_b = norm1(x, params_only=True)
+            x = checkpoint_name(
+                attn(x, ln=(ln_s, ln_b), residual=x,
+                     gamma=ls1(x, params_only=True)), "attn_res")
+        else:
+            y = attn(norm1(x))
+            # named so REMAT_POLICY saves the midpoint: the fused-MLP
+            # VJP's residual is exactly this tensor, so with it saved
+            # the MLP forward kernel is dead code in the remat recompute
+            # (identity outside jax.checkpoint)
+            x = checkpoint_name(x + ls1(y), "attn_res")
         norm2 = LayerNorm(param_dtype=self.param_dtype, name="norm2")
         ls2 = LayerScale(c, self.param_dtype, name="ls2")
         if self.ffn == "mlp":
             mlp = Mlp(int(c * self.mlp_ratio), c,
                       param_dtype=self.param_dtype, name="mlp")
-            rows = x.shape[0] * x.shape[1]
+            if int8_path:
+                from vdn.ops.pallas.int8 import fused_ln_mlp_residual_int8
+                ln_s, ln_b = norm2(x, params_only=True)
+                (w1, b1), (w2, b2) = mlp(x, params_only=True)
+                gamma = ls2(x, params_only=True)
+                return fused_ln_mlp_residual_int8(
+                    x, ln_s, ln_b, w1, b1, w2, b2, gamma, 1e-6)
             if fused_mlp_enabled(rows):
                 # one Pallas pass for LN2 -> fc1 -> GELU -> fc2 -> ls2 ->
                 # residual: under plain XLA the fc2 matmul fusion re-evals
@@ -190,6 +243,9 @@ class DinoVisionTransformer(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
     remat: bool = False
+    # "int8": serving-only W8A8-dynamic encoder matmuls (vdn/ops/pallas/
+    # int8.py).  Inference paths only — the int8 kernels define no VJP.
+    quantize: Optional[str] = None
 
     def setup(self):
         grid = self.img_size // self.patch_size
@@ -209,7 +265,8 @@ class DinoVisionTransformer(nn.Module):
             block_cls = nn.remat(Block, policy=REMAT_POLICY)
         self.blocks = [
             block_cls(self.num_heads, self.mlp_ratio, self.ffn,
-                      self.param_dtype, self.use_flash, name=f"blocks_{i}")
+                      self.param_dtype, self.use_flash, self.quantize,
+                      name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.norm = LayerNorm(param_dtype=self.param_dtype, name="norm")
@@ -269,11 +326,12 @@ class DinoVisionTransformer(nn.Module):
 
 
 def make_vit(encoder: str, param_dtype=jnp.float32, use_flash=None,
-             remat: bool = False, name: Optional[str] = None
-             ) -> DinoVisionTransformer:
+             remat: bool = False, name: Optional[str] = None,
+             quantize: Optional[str] = None) -> DinoVisionTransformer:
     cfg = VIT_CONFIGS[encoder]
     kw = {} if name is None else {"name": name}
     return DinoVisionTransformer(
         embed_dim=cfg["embed_dim"], depth=cfg["depth"],
         num_heads=cfg["num_heads"], ffn=cfg["ffn"],
-        param_dtype=param_dtype, use_flash=use_flash, remat=remat, **kw)
+        param_dtype=param_dtype, use_flash=use_flash, remat=remat,
+        quantize=quantize, **kw)
