@@ -19,13 +19,15 @@ import numpy as np
 
 def main():
     trace = "--trace" in sys.argv
-    argv = [a for a in sys.argv if a != "--trace"]
+    int8 = "--int8" in sys.argv
+    argv = [a for a in sys.argv if not a.startswith("--")]
     chunk = int(argv[1]) if len(argv) > 1 else 8
     n_frames = int(argv[2]) if len(argv) > 2 else 64
     from vdn.models.video_depth_anything import build_video_depth_anything
     from vdn.pipelines.stream import VideoDepthStreamPipeline
 
-    model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16)
+    model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16,
+                                       quantize="int8" if int8 else None)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 2, 56, 56, 3), jnp.float32))
     pipe = VideoDepthStreamPipeline(model, params, input_size=518)

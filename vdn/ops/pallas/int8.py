@@ -64,8 +64,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vdn.ops.pallas.mlp import _gelu_f32
 
-_BLOCK_ROWS = int(_os.environ.get("VDN_INT8_BLOCK_ROWS", "256"))
-_F_CHUNKS = int(_os.environ.get("VDN_INT8_F_CHUNKS", "4"))
+# In-model slope-timed sweep at the vitl window shape (bench.py --int8,
+# 2026-08-19), rows/f_chunks -> fps: 704/2 -> 111.1 (kept); 704/1 ->
+# 110.3; 704/4 -> 109.7; 352/4 -> 108.9; 352/8 -> 108.1; 1376/4 ->
+# 107.9; 232/4 (the first 8-aligned cut) -> 105.7.  int8 MXU tiles are
+# (32,128), so blocks are rounded to 32 rows — 1370 tokens/frame split
+# as 2x704 pads 2.8%, vs 10%+ sublane waste for 8-aligned 232-row
+# blocks.
+_BLOCK_ROWS = int(_os.environ.get("VDN_INT8_BLOCK_ROWS", "704"))
+_F_CHUNKS = int(_os.environ.get("VDN_INT8_F_CHUNKS", "2"))
 
 
 def quantize_weight_cols(w):
@@ -104,13 +111,13 @@ def _ln_f32(xf, ls, lb, eps):
 
 
 def _block_rows(n: int) -> int:
-    """Token-axis block: ~_BLOCK_ROWS rows, rounded up to the 8-row tile
-    so partial-block padding stays small for non-multiple-of-8 N (e.g.
-    1370 -> 6 blocks of 232, 1.6% pad waste)."""
+    """Token-axis block: ~_BLOCK_ROWS rows, rounded up to the 32-row
+    int8 MXU tile so partial-block padding stays small for
+    non-tile-aligned N (e.g. 1370 -> 2 blocks of 704, 2.8% pad)."""
     if n <= _BLOCK_ROWS:
         return n
     nb = -(-n // _BLOCK_ROWS)
-    return min(n, (-(-n // nb) + 7) // 8 * 8)
+    return min(n, (-(-n // nb) + 31) // 32 * 32)
 
 
 def _row3(a):
