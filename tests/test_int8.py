@@ -135,6 +135,65 @@ def test_fused_ln_mlp_int8_bf16():
     assert np.abs(out - ref).max() < 0.15 * scale
 
 
+def test_fused_ln_swiglu_int8_close_to_float():
+    from vdn.ops.pallas.int8 import fused_ln_swiglu_residual_int8
+
+    rng = np.random.default_rng(8)
+    n, c, f = 96, 128, 192
+    x = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    w12 = jnp.asarray(rng.standard_normal((c, 2 * f)) / np.sqrt(c),
+                      jnp.float32)
+    b12 = jnp.asarray(0.1 * rng.standard_normal(2 * f), jnp.float32)
+    w3 = jnp.asarray(rng.standard_normal((f, c)) / np.sqrt(f), jnp.float32)
+    b3 = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.05 * rng.standard_normal(c), jnp.float32)
+
+    # float reference: LN -> w12 -> silu(x1)*x2 -> w3 -> ls -> residual
+    xf = np.asarray(x, np.float64)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    y = (xf - mean) / np.sqrt(var + 1e-6)
+    y = y * np.asarray(ln_s) + np.asarray(ln_b)
+    x12 = y @ np.asarray(w12) + np.asarray(b12)
+    x1, x2 = x12[:, :f], x12[:, f:]
+    h = x1 / (1 + np.exp(-x1)) * x2
+    ref = xf + (h @ np.asarray(w3) + np.asarray(b3)) * np.asarray(gamma)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(fused_ln_swiglu_residual_int8(
+            x, ln_s, ln_b, w12, b12, w3, b3, gamma), np.float64)
+    scale = np.std(ref - xf)
+    d = np.abs(out - ref)
+    assert d.max() < 0.15 * scale
+    assert np.sqrt(np.mean(d ** 2)) < 0.025 * scale
+
+
+def test_vit_int8_swiglu_forward_drift():
+    """vitg-style block (ffn=swiglufused) through the int8 path."""
+    from vdn.nn.vit import DinoVisionTransformer
+
+    kw = dict(embed_dim=128, depth=2, num_heads=4, img_size=56,
+              ffn="swiglufused", use_flash=False)
+    x = jnp.asarray(np.random.default_rng(9).random((1, 56, 56, 3)),
+                    jnp.float32)
+    fmodel = DinoVisionTransformer(**kw)
+    params = fmodel.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(fmodel.apply(params, x))
+    qmodel = DinoVisionTransformer(**kw, quantize="int8")
+    os.environ["VDN_FORCE_INT8"] = "1"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(qmodel.apply(params, x))
+    finally:
+        del os.environ["VDN_FORCE_INT8"]
+    assert not np.allclose(out, ref)
+    d = np.abs(out - ref)
+    assert d.max() < 0.15 * np.std(ref)
+    assert np.sqrt(np.mean(d ** 2)) < 0.03 * np.std(ref)
+
+
 def test_vit_int8_forward_drift():
     """Model plumbing: tiny ViT, quantize='int8' forced on (CPU interpret
     mode) stays within quantization noise of the float forward."""

@@ -6,6 +6,9 @@ so this bounds the bf16 numerics against the fp32 forward on the SAME
 kind of drift weight-converted checkpoints would see.  Reports relative
 depth error and the delta1-style agreement between the two outputs after
 least-squares scale/shift alignment (the eval protocol's alignment).
+
+--int8 additionally reports the W8A8 serving mode (quantize="int8" +
+bf16) against the same fp32 reference.
 """
 
 from __future__ import annotations
@@ -43,35 +46,44 @@ def structured_frames(n, size, seed=0):
 def main():
     from vdn.models.video_depth_anything import build_video_depth_anything
 
+    variants = [("fp32", jnp.float32, None), ("bf16", jnp.bfloat16, None)]
+    if "--int8" in sys.argv:
+        variants.append(("int8", jnp.bfloat16, "int8"))
+
     x = jnp.asarray(structured_frames(32, 518)[None])  # [1,32,518,518,3]
     outs = {}
-    for name, dtype in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
-        model = build_video_depth_anything("vitl", compute_dtype=dtype)
+    for name, dtype, quant in variants:
+        model = build_video_depth_anything("vitl", compute_dtype=dtype,
+                                           quantize=quant)
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 2, 56, 56, 3),
                                              jnp.float32))
         outs[name] = np.asarray(jax.jit(model.apply)(params, x),
                                 np.float64)
 
-    a, b = outs["fp32"].reshape(-1), outs["bf16"].reshape(-1)
+    a = outs["fp32"].reshape(-1)
     eps = 1e-6
-    rel = np.abs(a - b) / np.maximum(np.abs(a), eps)
-    # lstsq scale/shift alignment of bf16 onto fp32 (eval protocol), then
-    # delta1: fraction with max(a/b, b/a) < 1.25 on positive pixels
-    A = np.stack([b, np.ones_like(b)], 1)
-    s, t = np.linalg.lstsq(A, a, rcond=None)[0]
-    b_al = s * b + t
-    pos = (a > np.percentile(a, 5))
-    ratio = np.maximum(a[pos] / np.maximum(b_al[pos], eps),
-                       b_al[pos] / np.maximum(a[pos], eps))
-    report = {
-        "mean_rel_err": float(rel.mean()),
-        "p99_rel_err": float(np.percentile(rel, 99)),
-        "max_rel_err": float(rel.max()),
-        "delta1_bf16_vs_fp32": float((ratio < 1.25).mean()),
-        "absrel_bf16_vs_fp32": float(
-            (np.abs(a[pos] - b_al[pos]) / a[pos]).mean()),
-    }
+    report = {}
+    for name in outs:
+        if name == "fp32":
+            continue
+        b = outs[name].reshape(-1)
+        rel = np.abs(a - b) / np.maximum(np.abs(a), eps)
+        # lstsq scale/shift alignment onto fp32 (eval protocol), then
+        # delta1: fraction with max(a/b, b/a) < 1.25 on positive pixels
+        A = np.stack([b, np.ones_like(b)], 1)
+        s, t = np.linalg.lstsq(A, a, rcond=None)[0]
+        b_al = s * b + t
+        pos = (a > np.percentile(a, 5))
+        ratio = np.maximum(a[pos] / np.maximum(b_al[pos], eps),
+                           b_al[pos] / np.maximum(a[pos], eps))
+        report.update({
+            f"mean_rel_err_{name}": float(rel.mean()),
+            f"p99_rel_err_{name}": float(np.percentile(rel, 99)),
+            f"delta1_{name}_vs_fp32": float((ratio < 1.25).mean()),
+            f"absrel_{name}_vs_fp32": float(
+                (np.abs(a[pos] - b_al[pos]) / a[pos]).mean()),
+        })
     print("DRIFT " + json.dumps(report))
 
 

@@ -143,7 +143,8 @@ class Scratch(nn.Module):
                 params_only=True)
             from vdn.ops.pallas.resize_island import (
                 fused_resize_island, fused_resize_island_enabled)
-            if (fused_resize_island_enabled(out.shape[-1], o_ch)
+            if (fused_resize_island_enabled(out.shape[-1], o_ch, out,
+                                            out_hw)
                     and out.shape[-3] < out_hw[0]
                     and out.shape[-2] < out_hw[1]):
                 # TPU: W-resize + packed island conv in one kernel — the

@@ -228,9 +228,14 @@ class SwiGLUFFN(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x12 = Linear(2 * self.hidden_features, True, self.param_dtype,
-                     name="w12")(x)
+    def __call__(self, x, *, params_only: bool = False):
+        w12 = Linear(2 * self.hidden_features, True, self.param_dtype,
+                     name="w12")
+        w3 = Linear(self.out_features, True, self.param_dtype, name="w3")
+        if params_only:  # expose raw params to fused Pallas callers
+            hidden = jnp.zeros(x.shape[:-1] + (self.hidden_features,),
+                               x.dtype)
+            return w12(x, params_only=True), w3(hidden, params_only=True)
+        x12 = w12(x)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return Linear(self.out_features, True, self.param_dtype,
-                      name="w3")(jax.nn.silu(x1) * x2)
+        return w3(jax.nn.silu(x1) * x2)

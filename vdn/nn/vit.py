@@ -226,8 +226,17 @@ class Block(nn.Module):
         else:  # swiglufused: hidden = multiple-of-8 round of 2/3 * 4d
             hidden = int(c * self.mlp_ratio) * 2 // 3
             hidden = (hidden + 7) // 8 * 8
-            y = SwiGLUFFN(hidden, c, param_dtype=self.param_dtype,
-                          name="mlp")(norm2(x))
+            ffn = SwiGLUFFN(hidden, c, param_dtype=self.param_dtype,
+                            name="mlp")
+            if int8_path:
+                from vdn.ops.pallas.int8 import \
+                    fused_ln_swiglu_residual_int8
+                ln_s, ln_b = norm2(x, params_only=True)
+                (w12, b12), (w3, b3) = ffn(x, params_only=True)
+                gamma = ls2(x, params_only=True)
+                return fused_ln_swiglu_residual_int8(
+                    x, ln_s, ln_b, w12, b12, w3, b3, gamma, 1e-6)
+            y = ffn(norm2(x))
         return x + ls2(y)
 
 

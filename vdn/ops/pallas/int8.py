@@ -302,6 +302,58 @@ def int8_proj_residual(x, residual, w, b, gamma):
                     w.shape[1], _f_chunks_for(w.shape[1]))
 
 
+def _ln_swiglu_int8_kernel(x_ref, ls_ref, lb_ref, w12q_ref, s12_ref,
+                           b12_ref, w3q_ref, s3_ref, b3_ref, g_ref,
+                           o_ref, *, eps: float, f_chunks: int):
+    """LN -> W8A8 w12 -> silu(x1)*x2 -> W8A8 w3 -> LayerScale ->
+    residual (the vitg SwiGLU FFN; reference dinov2_layers/
+    swiglu_ffn.py).  w12's columns are [gate | value] halves; each
+    f-chunk runs one gate dot + one value dot so the chunks pair up."""
+    x = x_ref[0]                                     # [bn, C]
+    y = _ln_f32(x.astype(jnp.float32), ls_ref[0], lb_ref[0], eps)
+    q, sy = _quantize_rows_f32(y)
+
+    f = w12q_ref.shape[1] // 2
+    fc = f // f_chunks
+    o = None
+    for j in range(f_chunks):
+        sl1 = slice(j * fc, (j + 1) * fc)
+        sl2 = slice(f + j * fc, f + (j + 1) * fc)
+        a1 = _int8_dot(q, w12q_ref[:, sl1])
+        x1 = a1.astype(jnp.float32) * sy * s12_ref[0, :, sl1] \
+            + b12_ref[0, :, sl1].astype(jnp.float32)
+        a2 = _int8_dot(q, w12q_ref[:, sl2])
+        x2 = a2.astype(jnp.float32) * sy * s12_ref[0, :, sl2] \
+            + b12_ref[0, :, sl2].astype(jnp.float32)
+        # silu(x1) = x1 * sigmoid(x1); sigmoid via one exp2
+        sig = 1.0 / (1.0 + jnp.exp2(x1 * (-1.4426950408889634)))
+        h = x1 * sig * x2
+        hq, sh = _quantize_rows_f32(h)
+        acc = _int8_dot(hq, w3q_ref[sl1, :])         # [bn, C] int32
+        pj = acc.astype(jnp.float32) * sh * s3_ref[0]
+        o = pj if o is None else o + pj
+    o = o + b3_ref[0].astype(jnp.float32)
+    o_ref[0] = x + (o * g_ref[0].astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_ln_swiglu_residual_int8(x, ln_scale, ln_bias, w12, b12, w3, b3,
+                                  gamma, eps: float = 1e-6):
+    """Serving-path int8 SwiGLU FFN block tail (vitg).  x [B, N, C]."""
+    shape = x.shape
+    x3 = x.reshape((1,) + shape if len(shape) == 2 else x.shape)
+    f = w12.shape[1] // 2
+    w12q, s12 = quantize_weight_cols(w12)
+    w3q, s3 = quantize_weight_cols(w3)
+    kernel = functools.partial(_ln_swiglu_int8_kernel, eps=eps)
+    out = _call_3d(kernel, "ln_swiglu_int8", x3,
+                   [(ln_scale, "vec"), (ln_bias, "vec"), (w12q, "mat"),
+                    (s12, "vec"), (b12, "vec"), (w3q, "mat"), (s3, "vec"),
+                    (b3, "vec"), (gamma, "vec")],
+                   x3.shape[-1],
+                   _F_CHUNKS if f % _F_CHUNKS == 0 else 1)
+    return out.reshape(shape)
+
+
 def fused_ln_mlp_residual_int8(x, ln_scale, ln_bias, w1, b1, w2, b2,
                                gamma, eps: float = 1e-6):
     """Serving-path int8 variant of fused_ln_mlp_residual: LN (fp32) ->

@@ -276,11 +276,22 @@ def _fri_bwd(out_hw, sigmoid, max_depth, res, g):
 fused_resize_island.defvjp(_fri_fwd, _fri_bwd)
 
 
-def fused_resize_island_enabled(c: int, o: int) -> bool:
+def fused_resize_island_enabled(c: int, o: int, feat=None,
+                                out_hw=None) -> bool:
     import os
     if os.environ.get("VDN_DISABLE_FUSED_ISLAND"):
         return False
     if 128 % o != 0 or 128 // o < 2 or c % 128 != 0:
         return False
+    if feat is not None and out_hw is not None:
+        # the kernel holds the whole H-resized [hp, w_in, C] image in
+        # VMEM per grid step (double-buffered): fits for the bf16
+        # serving path at 518px (~40 MB x2) but OOMs the 128 MB VMEM
+        # under fp32 compute (~80 MB x2) — fp32 callers (drift report,
+        # --compute-dtype fp32) take the packed-island fallback
+        hp = int(out_hw[0]) + 2
+        window = 2 * hp * feat.shape[-2] * c * feat.dtype.itemsize
+        if window > 110 * 1024 * 1024:
+            return False
     from vdn.ops.attention import _on_tpu
     return _on_tpu()
