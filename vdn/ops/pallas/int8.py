@@ -385,4 +385,6 @@ def int8_serving_enabled(rows: int) -> bool:
     if _os.environ.get("VDN_FORCE_INT8"):  # tests: CPU interpret mode
         return True
     from vdn.ops.attention import _on_tpu
-    return rows >= 2048 and _on_tpu()
+    # 1024: a single 518px image (1370 tokens) qualifies, so the image
+    # pipelines' serving mode quantizes too; tiny shapes keep float
+    return rows >= 1024 and _on_tpu()
