@@ -40,7 +40,9 @@ TRUNK_CFG = dict(embed_dim=D, num_heads=1, stages=(1, 1, 2, 1),
                  window_pos_embed_bkg_spatial_size=(14, 14))
 
 
-def _build_ref():
+def _build_ref(cls=SAM2Base, **extra):
+    """Build the tiny reference model; ``cls`` may be any SAM2Base
+    subclass (test_sam2_video_legacy.py passes the legacy predictor)."""
     trunk = RefHiera(**TRUNK_CFG)
     neck = RefFpnNeck(
         position_encoding=PositionEmbeddingSine(num_pos_feats=D),
@@ -91,7 +93,7 @@ def _build_ref():
 
     ma.forward = ma_fixed
 
-    return SAM2Base(
+    return cls(
         image_encoder=ie, memory_attention=ma, memory_encoder=me,
         num_maskmem=7, image_size=128, backbone_stride=16,
         sigmoid_scale_for_mem_enc=20.0, sigmoid_bias_for_mem_enc=-10.0,
@@ -105,7 +107,7 @@ def _build_ref():
         pred_obj_scores_mlp=True, fixed_no_obj_ptr=True,
         multimask_output_for_tracking=True, use_multimask_token_for_obj_ptr=True,
         multimask_min_pt_num=0, multimask_max_pt_num=1,
-        use_mlp_for_obj_ptr_proj=True).eval()
+        use_mlp_for_obj_ptr_proj=True, **extra).eval()
 
 
 @pytest.fixture(scope="module")
