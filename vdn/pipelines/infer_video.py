@@ -29,18 +29,58 @@ KEYFRAMES = [0, 12, 24, 25, 26, 27, 28, 29, 30, 31]
 INTERP_LEN = 8
 
 
+def make_cached_window_fns(model):
+    """Jitted window steps with cross-window encoder-feature reuse.
+
+    The reference window loop re-encodes the 10 KEYFRAMES seed frames of
+    every window (video_depth.py:96-113) even though they are raw frames
+    already encoded by the previous window and the ViT encoder is
+    frame-independent.  ``full`` encodes all 32 frames and returns the
+    per-frame features; ``cached`` gathers the previous window's features
+    at the KEYFRAMES indices on device and encodes only the 22 new
+    frames.  Outputs are identical to re-encoding (exactly in exact
+    arithmetic; to batching-order float noise otherwise)."""
+    full = jax.jit(
+        lambda p, x: model.apply(p, x, method=model.forward_window))
+
+    @jax.jit
+    def cached(p, x_new, prev_feats):
+        kf = tuple(KEYFRAMES)
+        seed = []
+        for layer in prev_feats:
+            gathered = []
+            for a in layer:
+                a = a.reshape(-1, INFER_LEN, *a.shape[1:])[:, kf]
+                gathered.append(a.reshape(-1, *a.shape[2:]))
+            seed.append(tuple(gathered))
+        return model.apply(p, x_new, seed,
+                           method=model.forward_window_cached)
+
+    return full, cached
+
+
 def infer_video_depth(model, params, frames: np.ndarray, target_fps: float,
                       input_size: int = 518,
-                      forward_fn: Optional[object] = None):
+                      forward_fn: Optional[object] = None,
+                      cache_encoder: bool = True):
     """frames: [N, H, W, 3] RGB (uint8 or float 0-255).
 
     Returns (depths [N, H, W] fp32 at source resolution, target_fps).
+
+    ``cache_encoder`` (default): reuse the previous window's encoder
+    features for the KEYFRAMES seed frames instead of re-encoding them —
+    see make_cached_window_fns.  Passing ``forward_fn`` forces the plain
+    per-window path (e.g. a context-parallel shard_map forward).
     """
     n_frames = len(frames)
     frame_h, frame_w = frames[0].shape[:2]
     input_size = adjust_input_size_for_ratio(frame_h, frame_w, input_size)
 
-    if forward_fn is None:
+    if forward_fn is not None:
+        cache_encoder = False
+    elif cache_encoder:
+        full_fn, cached_fn = make_cached_window_fns(model)
+    else:
         forward_fn = jax.jit(lambda p, x: model.apply(p, x))
 
     frame_list = [frames[i] for i in range(n_frames)]
@@ -51,18 +91,32 @@ def infer_video_depth(model, params, frames: np.ndarray, target_fps: float,
 
     depth_list = []
     pre_input = None
+    prev_feats = None
     for frame_id in range(0, n_frames, frame_step):
-        cur = np.stack([preprocess_frame(frame_list[frame_id + i], input_size)
-                        for i in range(INFER_LEN)], axis=0)[None]
-        if pre_input is not None:
-            cur[:, :OVERLAP] = pre_input[:, KEYFRAMES]
-
-        depth = np.asarray(forward_fn(params, cur))  # [1, T, h, w]
+        if cache_encoder:
+            if prev_feats is None:
+                cur = np.stack(
+                    [preprocess_frame(frame_list[frame_id + i], input_size)
+                     for i in range(INFER_LEN)], axis=0)[None]
+                depth, prev_feats = full_fn(params, cur)
+            else:
+                x_new = np.stack(
+                    [preprocess_frame(frame_list[frame_id + i], input_size)
+                     for i in range(OVERLAP, INFER_LEN)], axis=0)[None]
+                depth, prev_feats = cached_fn(params, x_new, prev_feats)
+            depth = np.asarray(depth)
+        else:
+            cur = np.stack(
+                [preprocess_frame(frame_list[frame_id + i], input_size)
+                 for i in range(INFER_LEN)], axis=0)[None]
+            if pre_input is not None:
+                cur[:, :OVERLAP] = pre_input[:, KEYFRAMES]
+            depth = np.asarray(forward_fn(params, cur))  # [1, T, h, w]
+            pre_input = cur
         depth = np.asarray(resize2d(depth[0][..., None],
                                     (frame_h, frame_w), "bilinear",
                                     align_corners=True))[..., 0]
         depth_list += [depth[i] for i in range(depth.shape[0])]
-        pre_input = cur
 
     # ---- stitching (reference video_depth.py:118-154) ----
     aligned = []
