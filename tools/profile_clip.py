@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="profile the W8A8 serving path (trace goes to "
                          "profiles/clip_int8)")
+    ap.add_argument("--cached", action="store_true",
+                    help="profile the steady-state cached window (22 new "
+                         "frames + gathered KEYFRAMES seed features — the "
+                         "default pipeline path; trace goes to "
+                         "profiles/clip_cached[_int8])")
     args = ap.parse_args()
 
     from vdn.models.video_depth_anything import build_video_depth_anything
@@ -80,6 +85,83 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (1, args.frames, args.size, args.size, 3),
                           jnp.float32)
+
+    if args.cached:
+        # steady-state pipeline window: the features output feeds the next
+        # iteration's gather, so chain through (x, feats) jointly
+        from vdn.pipelines.infer_video import OVERLAP, make_cached_window_fns
+        full_fn, cached_raw = make_cached_window_fns(model)
+        _, feats0 = full_fn(params, x)
+        x = x[:, OVERLAP:]
+
+        def apply_fn(p, carry):
+            x_new, feats = carry
+            depth, feats = cached_raw(p, x_new, feats)
+            return depth, feats
+
+        def slope_timed_carry(k_small=2, k_large=6, reps=3):
+            @jax.jit
+            def run(params, x_new, feats, k):
+                def body(c):
+                    i, x, feats, acc = c
+                    depth, feats = cached_raw(params, x, feats)
+                    bump = jnp.tanh(jnp.mean(depth)) * 1e-3
+                    acc = acc + bump + 0.0 * jnp.mean(
+                        feats[-1][1].astype(jnp.float32))
+                    return i + 1, x * (1.0 + bump), feats, acc
+
+                _, _, _, acc = jax.lax.while_loop(
+                    lambda c: c[0] < k, body,
+                    (jnp.int32(0), x_new, feats, jnp.float32(0.0)))
+                return acc
+
+            float(run(params, x, feats0, jnp.int32(1)))
+
+            def best(k):
+                t = float("inf")
+                for _ in range(reps):
+                    start = time.perf_counter()
+                    float(run(params, x, feats0, jnp.int32(k)))
+                    t = min(t, time.perf_counter() - start)
+                return t
+
+            return (best(k_large) - best(k_small)) / (k_large - k_small)
+
+        fwd = jax.jit(lambda p, xn, f: cached_raw(p, xn, f))
+        lowered = fwd.lower(params, x, feats0)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        flops = cost.get("flops", float("nan")) if cost else float("nan")
+
+        t_full = slope_timed_carry()
+        t_enc = slope_timed(
+            lambda p, x: model.apply(p, x, method=model.forward_features),
+            params, x)  # 22 NEW frames only — the steady-state encode cost
+
+        fps = args.frames / t_full
+        report = {
+            "full_ms": round(t_full * 1e3, 2),
+            "encoder_new_frames_ms": round(t_enc * 1e3, 2),
+            "head_plus_gather_ms": round((t_full - t_enc) * 1e3, 2),
+            "fps": round(fps, 2),
+            "xla_flops_per_window": flops,
+            "tflops_per_sec": round(flops / t_full / 1e12, 1),
+            "mfu_vs_v5e_bf16_peak": round(flops / t_full / V5E_BF16_PEAK, 3),
+        }
+        print("PROFILE " + json.dumps(report))
+
+        if args.trace:
+            trace_dir = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "profiles",
+                "clip_cached" + ("_int8" if args.int8 else ""))
+            with jax.profiler.trace(trace_dir):
+                depth, feats = fwd(params, x, feats0)
+                x = x.at[0, 0, 0, 0, 0].add(
+                    float(jnp.mean(depth[0, 0])) * 1e-6)
+                depth, feats = fwd(params, x, feats)
+                float(jnp.mean(depth[0, 0]))
+            print("TRACE_DIR " + trace_dir)
+        return
 
     fwd = jax.jit(model.apply)
 
