@@ -120,10 +120,15 @@ def main():
         return
     from vdn.models.video_depth_anything import build_video_depth_anything
 
-    # --int8: the W8A8-dynamic serving mode (vdn/ops/pallas/int8.py).
+    # --int8: the int8 serving mode — W8A8-dynamic encoder matmuls
+    # (vdn/ops/pallas/int8.py) + calibrated-static head convs
+    # (vdn/ops/int8_conv.py; the first window doubles as the PTQ
+    # calibration pass, exactly as vdn.pipelines.infer_video serves).
+    # --int8-dynamic keeps every scale dynamic (zero-calibration mode).
     # The headline metric stays bf16 (numerics-faithful to the
     # reference); the int8 number is reported with its own metric name.
-    quantize = "int8" if "--int8" in sys.argv else None
+    quantize = ("int8" if "--int8-dynamic" in sys.argv
+                else "int8_static" if "--int8" in sys.argv else None)
     model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16,
                                        quantize=quantize)
     rng = jax.random.PRNGKey(0)
@@ -144,9 +149,16 @@ def main():
         args = (params, x)
     else:
         from vdn.pipelines.infer_video import (OVERLAP,
-                                               make_cached_window_fns)
-        full_fn, _ = make_cached_window_fns(model)
-        _, feats = full_fn(params, x)  # first window seeds the cache
+                                               make_cached_window_fns,
+                                               make_calibrating_window_fn)
+        if quantize == "int8_static":
+            # first window = PTQ calibration (float + stat recording),
+            # exactly as the pipeline serves
+            _, feats, stats = make_calibrating_window_fn(model)(params, x)
+            params = {**params, **stats}
+        else:
+            full_fn, _ = make_cached_window_fns(model)
+            _, feats = full_fn(params, x)  # first window seeds the cache
         x_new = x[:, OVERLAP:]
         run = _make_cached_runner(model)
         float(run(params, x_new, feats, jnp.int32(1)))  # warmup/compile
@@ -159,7 +171,7 @@ def main():
     fps = FRAMES / per_window
     metric = "video_depth_vitl_518_frames_per_sec_per_chip"
     if quantize:
-        metric += f"_{quantize}"
+        metric += "_int8"   # one stable metric name for both int8 modes
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),

@@ -234,3 +234,205 @@ def test_vit_int8_flag_inert_off_tpu():
     qmodel = DinoVisionTransformer(**kw, quantize="int8")
     np.testing.assert_array_equal(np.asarray(fmodel.apply(params, x)),
                                   np.asarray(qmodel.apply(params, x)))
+
+
+# ---------------- int8 convolution (vdn/ops/int8_conv.py) ----------------
+
+
+def _sim_int8_conv(x, w):
+    """numpy/float64 simulation of the exact quantized conv arithmetic:
+    per-frame activation scales, per-output-channel weight scales."""
+    import torch
+    xf = np.asarray(x, np.float64)
+    wf = np.asarray(w, np.float64)
+    sw = np.maximum(np.abs(wf).max(axis=(0, 1, 2)) / 127.0, 1e-30)
+    wq = np.asarray(jnp.round(jnp.asarray(wf / sw)), np.float64)
+    sx = np.maximum(np.abs(xf).max(axis=(1, 2, 3), keepdims=True) / 127.0,
+                    1e-30)
+    q = np.asarray(jnp.round(jnp.asarray(xf / sx)), np.float64)
+    y = torch.nn.functional.conv2d(
+        torch.from_numpy(q.transpose(0, 3, 1, 2)),
+        torch.from_numpy(wq.transpose(3, 2, 0, 1)), padding=1).numpy()
+    return y.transpose(0, 2, 3, 1) * sx * sw
+
+
+def test_int8_conv_matches_simulation():
+    from vdn.ops.int8_conv import int8_conv
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 9, 11, 64)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 64, 96)) * 0.05).astype(np.float32)
+    got = np.asarray(int8_conv(jnp.asarray(x), jnp.asarray(w), (1, 1),
+                               [(1, 1), (1, 1)]), np.float64)
+    want = _sim_int8_conv(x, w)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_conv_close_to_float():
+    from vdn.ops.int8_conv import int8_conv
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 17, 13, 64)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 64, 64)) * 0.05).astype(np.float32)
+    got = np.asarray(int8_conv(jnp.asarray(x), jnp.asarray(w), (1, 1),
+                               [(1, 1), (1, 1)]))
+    ref = np.asarray(jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    d = np.abs(got - ref)
+    assert np.sqrt(np.mean(d ** 2)) < 0.02 * np.std(ref)
+    assert d.max() < 0.15 * np.std(ref)
+
+
+def test_conv2d_int8_gate():
+    """Conv2d(quantize='int8'): small shapes fall back to the float conv
+    bitwise; gate-passing shapes actually quantize."""
+    from vdn.nn.layers import Conv2d
+
+    rng = np.random.default_rng(10)
+    # below the row gate -> float path, bitwise identical
+    x_small = jnp.asarray(rng.standard_normal((1, 16, 16, 64)), jnp.float32)
+    conv_f = Conv2d(64, (3, 3), padding=1)
+    conv_q = Conv2d(64, (3, 3), padding=1, quantize="int8")
+    params = conv_f.init(jax.random.PRNGKey(0), x_small)
+    np.testing.assert_array_equal(
+        np.asarray(conv_f.apply(params, x_small)),
+        np.asarray(conv_q.apply(params, x_small)))
+    # above the gate (8*64*64 = 32768 output rows) -> int8 path engages
+    x_big = jnp.asarray(rng.standard_normal((8, 64, 64, 64)), jnp.float32)
+    f = np.asarray(conv_f.apply(params, x_big))
+    q = np.asarray(conv_q.apply(params, x_big))
+    assert not np.array_equal(f, q)
+    d = np.abs(f - q)
+    assert np.sqrt(np.mean(d ** 2)) < 0.02 * np.std(f)
+
+
+def test_dpt_head_int8_drift():
+    """Model plumbing: the DPT head with quantize='int8' (conv gate
+    forced by a big-enough frame count) stays within quantization noise
+    of the float head, and the fp32 output island is never quantized
+    (the final convs' inputs differ only by upstream noise)."""
+    from vdn.nn.dpt import DPTHead
+
+    rng = np.random.default_rng(11)
+    ph = pw = 8
+    frames, c = 8, 64
+    feats = [(jnp.asarray(rng.standard_normal((frames, ph * pw, c)),
+                          jnp.float32), None) for _ in range(4)]
+    kw = dict(in_channels=c, features=128, out_channels=(96, 128, 160, 192))
+    fhead = DPTHead(**kw)
+    params = fhead.init(jax.random.PRNGKey(0), feats, ph, pw)
+    ref = np.asarray(fhead.apply(params, feats, ph, pw)[0])
+    qhead = DPTHead(**kw, quantize="int8")
+    out = np.asarray(qhead.apply(params, feats, ph, pw)[0])
+    assert not np.allclose(out, ref)  # some conv took the int8 path
+    d = np.abs(out - ref)
+    assert np.sqrt(np.mean(d ** 2)) < 0.05 * np.std(ref), (
+        np.sqrt(np.mean(d ** 2)) / np.std(ref))
+
+
+def test_conv2d_int8_static_calibration():
+    """quantize='int8_static': a mutable-quant_stats apply is the PTQ
+    calibration pass — float-identical output, records amax; afterwards
+    serving uses the stored scale and stays close to float.  Calibration
+    state resolves at TRACE time (has_variable — no runtime cond), so an
+    uncalibrated apply IS the dynamic per-frame path, bitwise."""
+    from vdn.nn.layers import Conv2d
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((8, 64, 64, 64)), jnp.float32)
+    conv_f = Conv2d(64, (3, 3), padding=1)
+    conv_d = Conv2d(64, (3, 3), padding=1, quantize="int8")
+    conv_s = Conv2d(64, (3, 3), padding=1, quantize="int8_static")
+    variables = conv_s.init(jax.random.PRNGKey(0), x)
+    # the stats variable is only born in a calibration pass
+    assert "quant_stats" not in variables
+    fparams = {"params": variables["params"]}
+
+    ref = np.asarray(conv_f.apply(fparams, x))
+
+    # uncalibrated static == dynamic, bitwise (identical trace)
+    np.testing.assert_array_equal(
+        np.asarray(conv_s.apply(variables, x)),
+        np.asarray(conv_d.apply(fparams, x)))
+
+    # calibration pass: float output + recorded stats
+    out_cal, muts = conv_s.apply(variables, x, mutable=["quant_stats"])
+    np.testing.assert_array_equal(np.asarray(out_cal), ref)
+    amax = float(muts["quant_stats"]["act_amax"])
+    np.testing.assert_allclose(amax, float(jnp.max(jnp.abs(x))), rtol=1e-6)
+
+    # calibrated serving: int8 engaged, bounded noise
+    out = np.asarray(conv_s.apply({**variables, **muts}, x))
+    assert not np.array_equal(out, ref)
+    d = np.abs(out - ref)
+    assert np.sqrt(np.mean(d ** 2)) < 0.02 * np.std(ref)
+
+
+def test_int8_static_pipeline_plumbing():
+    """quantize="int8_static" through the real serving pipelines: the
+    first window / first frame runs the PTQ calibration pass and merges
+    the recorded stats into the params.  At test shapes every conv
+    fails the int8 size gate (and the encoder kernels are TPU-only), so
+    the outputs must be BIT-IDENTICAL to the float model — this checks
+    the calibration plumbing, not the quantized numerics (covered
+    above)."""
+    from vdn.models.video_depth_anything import VideoDepthAnything
+    from vdn.pipelines.infer_video import infer_video_depth
+    from vdn.pipelines.stream import VideoDepthStreamPipeline
+
+    kw = dict(encoder="vits", features=64, out_channels=(48, 96, 192, 384),
+              use_flash=False)
+    fmodel = VideoDepthAnything(**kw)
+    qmodel = VideoDepthAnything(**kw, quantize="int8_static")
+    params = jax.jit(fmodel.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 2, 56, 56, 3), np.float32))
+    rng = np.random.default_rng(21)
+    frames = rng.integers(0, 256, size=(36, 64, 64, 3), dtype=np.uint8)
+
+    ref, _ = infer_video_depth(fmodel, params, frames, 24, input_size=56)
+    got, _ = infer_video_depth(qmodel, params, frames, 24, input_size=56)
+    np.testing.assert_array_equal(got, ref)
+
+    fpipe = VideoDepthStreamPipeline(fmodel, params, input_size=56)
+    qpipe = VideoDepthStreamPipeline(qmodel, params, input_size=56)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            qpipe.infer_video_depth_one(frames[i]),
+            fpipe.infer_video_depth_one(frames[i]))
+    assert "quant_stats" in qpipe.params  # calibration actually ran
+
+
+def test_dpt_head_int8_static_pipeline_shapes():
+    """Model-level static PTQ: calibrate a DPT head via mutable apply,
+    then serve; output within quantization noise of float, and the
+    quant_stats tree has one amax per head conv."""
+    from vdn.nn.dpt import DPTHead
+
+    rng = np.random.default_rng(13)
+    ph = pw = 8
+    frames, c = 8, 64
+    feats = [(jnp.asarray(rng.standard_normal((frames, ph * pw, c)),
+                          jnp.float32), None) for _ in range(4)]
+    kw = dict(in_channels=c, features=128, out_channels=(96, 128, 160, 192))
+    fhead = DPTHead(**kw)
+    variables = fhead.init(jax.random.PRNGKey(0), feats, ph, pw)
+    ref = np.asarray(fhead.apply(
+        {"params": variables["params"]}, feats, ph, pw)[0])
+
+    shead = DPTHead(**kw, quantize="int8_static")
+    svars = shead.init(jax.random.PRNGKey(0), feats, ph, pw)
+    # params trees must match (quantization adds no parameters, and the
+    # quant_stats are only born in a calibration pass)
+    assert jax.tree.structure(variables["params"]) == \
+        jax.tree.structure(svars["params"])
+    assert "quant_stats" not in svars
+    svars = {"params": variables["params"]}
+    (out_cal, _), muts = shead.apply(svars, feats, ph, pw,
+                                     mutable=["quant_stats"])
+    np.testing.assert_allclose(np.asarray(out_cal), ref, rtol=1e-6,
+                               atol=1e-6)
+    out = np.asarray(shead.apply({**svars, **muts}, feats, ph, pw)[0])
+    assert not np.allclose(out, ref)
+    d = np.abs(out - ref)
+    assert np.sqrt(np.mean(d ** 2)) < 0.05 * np.std(ref)

@@ -7,8 +7,11 @@ kind of drift weight-converted checkpoints would see.  Reports relative
 depth error and the delta1-style agreement between the two outputs after
 least-squares scale/shift alignment (the eval protocol's alignment).
 
---int8 additionally reports the W8A8 serving mode (quantize="int8" +
-bf16) against the same fp32 reference.
+--int8 additionally reports the W8A8 serving modes against the same
+fp32 reference: "int8" (dynamic scales everywhere) and "int8_static"
+(calibrated head-conv scales — calibrated on the SAME clip, the serving
+pipelines' first-window protocol, so this is the drift an actual
+serving session sees).
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ def main():
     variants = [("fp32", jnp.float32, None), ("bf16", jnp.bfloat16, None)]
     if "--int8" in sys.argv:
         variants.append(("int8", jnp.bfloat16, "int8"))
+        variants.append(("int8_static", jnp.bfloat16, "int8_static"))
 
     x = jnp.asarray(structured_frames(32, 518)[None])  # [1,32,518,518,3]
     outs = {}
@@ -58,6 +62,12 @@ def main():
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, 2, 56, 56, 3),
                                              jnp.float32))
+        if quant == "int8_static":
+            # PTQ calibration on the same clip (the pipelines' first-
+            # window protocol), then the calibrated serving forward
+            _, muts = jax.jit(lambda p, x: model.apply(
+                p, x, mutable=["quant_stats"]))(params, x)
+            params = {**params, **muts}
         outs[name] = np.asarray(jax.jit(model.apply)(params, x),
                                 np.float64)
 

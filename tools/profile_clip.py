@@ -188,7 +188,6 @@ def main():
     print("PROFILE " + json.dumps(report))
 
     if args.trace:
-        import os
         trace_dir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "profiles",
             "clip_int8" if args.int8 else "clip")

@@ -42,16 +42,19 @@ class DepthAnythingV2(nn.Module):
     quantize: Optional[str] = None
 
     def setup(self):
+        # encoder kernels quantize dynamically in VMEM; "int8_static"
+        # only changes the head conv scales (see vdn/ops/int8_conv.py)
+        enc_q = "int8" if self.quantize == "int8_static" else self.quantize
         self.pretrained = make_vit(self.encoder, self.param_dtype,
                                    self.use_flash, self.remat,
-                                   quantize=self.quantize)
+                                   quantize=enc_q)
         self.memory_block = MemoryBlock(
             self.pretrained.embed_dim, self.max_memory_length,
             self.num_mem_attention_layers, self.param_dtype)
         self.depth_head = DPTHead(
             in_channels=self.pretrained.embed_dim, features=self.features,
             out_channels=self.out_channels, param_dtype=self.param_dtype,
-            remat=self.remat)
+            remat=self.remat, quantize=self.quantize)
 
     def __call__(self, x: jnp.ndarray, state: Optional[Dict] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -45,14 +45,18 @@ class VideoDepthAnything(nn.Module):
     quantize: Optional[str] = None
 
     def setup(self):
+        # the encoder's Pallas matmul kernels quantize in VMEM (zero HBM
+        # cost), so they stay dynamic even under the calibrated head mode
+        enc_q = "int8" if self.quantize == "int8_static" else self.quantize
         self.pretrained = make_vit(self.encoder, self.param_dtype,
                                    self.use_flash, self.remat,
-                                   quantize=self.quantize)
+                                   quantize=enc_q)
         self.head = DPTHeadTemporal(
             in_channels=self.pretrained.embed_dim, features=self.features,
             out_channels=self.out_channels, num_frames=self.num_frames,
             pe=self.pe, param_dtype=self.param_dtype,
-            seq_axis=self.seq_axis, remat=self.remat)
+            seq_axis=self.seq_axis, remat=self.remat,
+            quantize=self.quantize)
 
     def forward_features(self, x: jnp.ndarray):
         """x: [B, T, H, W, 3] -> 4 x (tokens [(B*T), N, C], cls)."""

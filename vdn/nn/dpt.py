@@ -31,30 +31,35 @@ Dtype = Any
 class ResidualConvUnit(nn.Module):
     features: int
     param_dtype: Dtype = jnp.float32
+    quantize: Any = None
 
     @nn.compact
     def __call__(self, x):
         y = jax.nn.relu(x)
         y = Conv2d(self.features, (3, 3), padding=1,
-                   param_dtype=self.param_dtype, name="conv1")(y)
+                   param_dtype=self.param_dtype, quantize=self.quantize,
+                   name="conv1")(y)
         y = jax.nn.relu(y)
         y = Conv2d(self.features, (3, 3), padding=1,
-                   param_dtype=self.param_dtype, name="conv2")(y)
+                   param_dtype=self.param_dtype, quantize=self.quantize,
+                   name="conv2")(y)
         return y + x
 
 
 class FeatureFusionBlock(nn.Module):
     features: int
     param_dtype: Dtype = jnp.float32
+    quantize: Any = None
 
     @nn.compact
     def __call__(self, x, skip=None, size: Optional[Tuple[int, int]] = None):
         out = x
         if skip is not None:
             out = out + ResidualConvUnit(self.features, self.param_dtype,
+                                         self.quantize,
                                          name="resConfUnit1")(skip)
         out = ResidualConvUnit(self.features, self.param_dtype,
-                               name="resConfUnit2")(out)
+                               self.quantize, name="resConfUnit2")(out)
         if size is None:
             size = (out.shape[-3] * 2, out.shape[-2] * 2)
         # out_conv (1x1) commutes exactly with bilinear interpolation (the
@@ -63,7 +68,8 @@ class FeatureFusionBlock(nn.Module):
         # applying it BEFORE the upsample quarters its FLOPs vs the
         # reference order (util/blocks.py:134-148)
         out = Conv2d(self.features, (1, 1), padding=0,
-                     param_dtype=self.param_dtype, name="out_conv")(out)
+                     param_dtype=self.param_dtype, quantize=self.quantize,
+                     name="out_conv")(out)
         return resize2d(out, size, "bilinear", align_corners=True)
 
 
@@ -78,17 +84,18 @@ class Scratch(nn.Module):
     param_dtype: Dtype = jnp.float32
     sigmoid_output: bool = False
     remat: bool = False
+    quantize: Any = None
 
     def setup(self):
-        f, pd = self.features, self.param_dtype
+        f, pd, qz = self.features, self.param_dtype, self.quantize
         self.layer1_rn = Conv2d(f, (3, 3), padding=1, use_bias=False,
-                                param_dtype=pd)
+                                param_dtype=pd, quantize=qz)
         self.layer2_rn = Conv2d(f, (3, 3), padding=1, use_bias=False,
-                                param_dtype=pd)
+                                param_dtype=pd, quantize=qz)
         self.layer3_rn = Conv2d(f, (3, 3), padding=1, use_bias=False,
-                                param_dtype=pd)
+                                param_dtype=pd, quantize=qz)
         self.layer4_rn = Conv2d(f, (3, 3), padding=1, use_bias=False,
-                                param_dtype=pd)
+                                param_dtype=pd, quantize=qz)
         # remat: rematerialize the high-resolution refinenet tail during
         # backward — its 296^2-grid activations dominate training memory
         # (the round-1 B=2 OOM); the reference instead micro-batches the
@@ -96,11 +103,12 @@ class Scratch(nn.Module):
         # (size is arg 3 counting self; it is a static shape tuple)
         ffb = nn.remat(FeatureFusionBlock, static_argnums=(3,)) \
             if self.remat else FeatureFusionBlock
-        self.refinenet1 = ffb(f, pd)
-        self.refinenet2 = ffb(f, pd)
-        self.refinenet3 = ffb(f, pd)
-        self.refinenet4 = ffb(f, pd)
-        self.output_conv1 = Conv2d(f // 2, (3, 3), padding=1, param_dtype=pd)
+        self.refinenet1 = ffb(f, pd, qz)
+        self.refinenet2 = ffb(f, pd, qz)
+        self.refinenet3 = ffb(f, pd, qz)
+        self.refinenet4 = ffb(f, pd, qz)
+        self.output_conv1 = Conv2d(f // 2, (3, 3), padding=1, param_dtype=pd,
+                                   quantize=qz)
         # fp32 *accumulation* island: under bf16 compute the operands
         # (input feature AND this conv's weights) are rounded to bf16 and
         # only the accumulator/output is fp32 — a deliberate deviation
@@ -181,14 +189,19 @@ class DPTHead(nn.Module):
     param_dtype: Dtype = jnp.float32
     sigmoid_output: bool = False
     remat: bool = False
+    quantize: Any = None
 
     def setup(self):
-        pd = self.param_dtype
+        pd, qz = self.param_dtype, self.quantize
         oc = self.out_channels
-        self.projects_0 = Conv2d(oc[0], (1, 1), padding=0, param_dtype=pd)
-        self.projects_1 = Conv2d(oc[1], (1, 1), padding=0, param_dtype=pd)
-        self.projects_2 = Conv2d(oc[2], (1, 1), padding=0, param_dtype=pd)
-        self.projects_3 = Conv2d(oc[3], (1, 1), padding=0, param_dtype=pd)
+        self.projects_0 = Conv2d(oc[0], (1, 1), padding=0, param_dtype=pd,
+                                 quantize=qz)
+        self.projects_1 = Conv2d(oc[1], (1, 1), padding=0, param_dtype=pd,
+                                 quantize=qz)
+        self.projects_2 = Conv2d(oc[2], (1, 1), padding=0, param_dtype=pd,
+                                 quantize=qz)
+        self.projects_3 = Conv2d(oc[3], (1, 1), padding=0, param_dtype=pd,
+                                 quantize=qz)
         self.resize_layers_0 = ConvTranspose2d(oc[0], (4, 4), (4, 4),
                                                param_dtype=pd)
         self.resize_layers_1 = ConvTranspose2d(oc[1], (2, 2), (2, 2),
@@ -197,7 +210,7 @@ class DPTHead(nn.Module):
         self.resize_layers_3 = Conv2d(oc[3], (3, 3), stride=(2, 2),
                                       padding=1, param_dtype=pd)
         self.scratch = Scratch(self.features, oc, pd,
-                               self.sigmoid_output, self.remat)
+                               self.sigmoid_output, self.remat, qz)
 
     def project_features(self, out_features, patch_h: int, patch_w: int):
         """tokens [B, ph*pw, C] x4 -> pyramid of NHWC maps."""

@@ -63,7 +63,12 @@ class Conv2d(nn.Module):
     ``accum_dtype`` sets the accumulator/output dtype independently of the
     input dtype (e.g. bf16 inputs with fp32 accumulation + fp32 output for
     the DPT output island — the TPU equivalent of the reference's
-    out-of-autocast fp32 conv, reference dpt_temporal.py:108-110)."""
+    out-of-autocast fp32 conv, reference dpt_temporal.py:108-110).
+
+    ``quantize="int8"`` (serving only): W8A8-dynamic int8 conv on the
+    int8 MXU path when the shape gate passes (vdn/ops/int8_conv.py);
+    falls back to the float conv otherwise.  Mutually exclusive with
+    ``accum_dtype`` (the fp32 island is never quantized)."""
     features: int
     kernel_size: Tuple[int, int]
     stride: Tuple[int, int] = (1, 1)
@@ -72,6 +77,7 @@ class Conv2d(nn.Module):
     feature_group_count: int = 1
     param_dtype: Dtype = jnp.float32
     accum_dtype: Any = None
+    quantize: Any = None
 
     @nn.compact
     def __call__(self, x, *, params_only: bool = False):
@@ -89,6 +95,49 @@ class Conv2d(nn.Module):
             return kernel, bias
         pad = self.padding if isinstance(self.padding, tuple) else (
             self.padding, self.padding)
+        pad_pairs = [p if isinstance(p, tuple) else (p, p) for p in pad]
+        if self.quantize in ("int8", "int8_static") \
+                and self.accum_dtype is None:
+            from vdn.ops.int8_conv import int8_conv, int8_conv_enabled
+            static = self.quantize == "int8_static"
+            calibrating = False
+            amax_val = None
+            if static:
+                # calibrated per-tensor activation scale (PTQ): an apply
+                # with mutable=["quant_stats"] records the float
+                # activation absmax and runs the FLOAT conv (calibration
+                # is bit-identical to the float path); serving reads the
+                # stored scale.  Calibration state is resolved at TRACE
+                # time (has_variable): the stats variable only exists
+                # after a calibration pass merged it into the variables,
+                # so an uncalibrated apply traces the dynamic per-frame
+                # path and a calibrated one traces the static path with
+                # no runtime branch — a lax.cond here would wall off the
+                # producer fusion that static scales exist to enable.
+                calibrating = self.is_mutable_collection("quant_stats") \
+                    and not self.is_initializing()
+                if calibrating:
+                    amax = self.variable("quant_stats", "act_amax",
+                                         lambda: jnp.zeros((), jnp.float32))
+                    amax.value = jnp.maximum(
+                        amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                elif self.has_variable("quant_stats", "act_amax"):
+                    amax_val = self.get_variable("quant_stats", "act_amax")
+            if int8_conv_enabled(x, kernel.shape, tuple(self.stride),
+                                 static=static) \
+                    and self.feature_group_count == 1:
+                y = None
+                if static and not calibrating:
+                    y = int8_conv(x, kernel, tuple(self.stride), pad_pairs,
+                                  amax=amax_val)
+                elif not static:
+                    y = int8_conv(x, kernel, tuple(self.stride), pad_pairs)
+                if y is not None:
+                    if self.use_bias:
+                        bias = self.param("bias", nn.initializers.zeros,
+                                          (self.features,), self.param_dtype)
+                        y = y + bias.astype(y.dtype)
+                    return y
         conv = _conv_nhwc_accum if (
             self.accum_dtype is not None
             and self.accum_dtype != jnp.result_type(x)) else _conv_nhwc

@@ -59,6 +59,24 @@ def make_cached_window_fns(model):
     return full, cached
 
 
+def make_calibrating_window_fn(model):
+    """Jitted PTQ-calibration window for ``quantize="int8_static"``
+    models: runs the window in float while recording every quantized
+    conv's activation absmax into the ``quant_stats`` collection
+    (vdn.nn.layers.Conv2d).  Returns ``(depth, features, updated_stats)``
+    — the depth/features are bit-identical to the float forward; merge
+    the stats into the params (``{**params, **stats}``) before the
+    steady-state int8 windows."""
+
+    @jax.jit
+    def f(p, x):
+        (depth, feats), muts = model.apply(
+            p, x, method=model.forward_window, mutable=["quant_stats"])
+        return depth, feats, muts
+
+    return f
+
+
 def infer_video_depth(model, params, frames: np.ndarray, target_fps: float,
                       input_size: int = 518,
                       forward_fn: Optional[object] = None,
@@ -98,7 +116,14 @@ def infer_video_depth(model, params, frames: np.ndarray, target_fps: float,
                 cur = np.stack(
                     [preprocess_frame(frame_list[frame_id + i], input_size)
                      for i in range(INFER_LEN)], axis=0)[None]
-                depth, prev_feats = full_fn(params, cur)
+                if getattr(model, "quantize", None) == "int8_static":
+                    # the first window doubles as the PTQ calibration
+                    # pass (float forward + activation-stat recording)
+                    calib_fn = make_calibrating_window_fn(model)
+                    depth, prev_feats, stats = calib_fn(params, cur)
+                    params = {**params, **stats}
+                else:
+                    depth, prev_feats = full_fn(params, cur)
             else:
                 x_new = np.stack(
                     [preprocess_frame(frame_list[frame_id + i], input_size)

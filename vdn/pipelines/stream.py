@@ -170,7 +170,23 @@ class VideoDepthStreamPipeline:
                 return depths, tuple(bufs)
             return model.apply(params, x, method=run)
 
+        def first_calib(params, x, out_hw):
+            """First-frame dispatch doubling as the PTQ calibration pass
+            for quantize="int8_static" models (float forward + activation
+            stat recording; see vdn.nn.layers.Conv2d)."""
+            def run(m, x):
+                f = m.forward_features(x)
+                depth, entries = m.forward_depth(f, x.shape)
+                depth = resize2d(depth[..., None], out_hw, "bilinear",
+                                 align_corners=True)[..., 0]
+                return depth, entries
+            return model.apply(params, x, method=run,
+                               mutable=["quant_stats"])
+
         self._first = jax.jit(first, static_argnums=(2,))
+        self._first_calib = jax.jit(first_calib, static_argnums=(2,))
+        self._static_quant = getattr(model, "quantize",
+                                     None) == "int8_static"
         self._step_k = jax.jit(step_k, donate_argnums=(2,),
                                static_argnums=(5,))
         self._step_batched = jax.jit(step_batched, donate_argnums=(2,),
@@ -221,8 +237,13 @@ class VideoDepthStreamPipeline:
         i = 0
         if self.buffers is None:
             self.id += 1
-            depth, entries = self._first(self.params, xs[0][None, None],
-                                         self.frame_hw)
+            if self._static_quant:
+                (depth, entries), stats = self._first_calib(
+                    self.params, xs[0][None, None], self.frame_hw)
+                self.params = {**self.params, **stats}
+            else:
+                depth, entries = self._first(self.params, xs[0][None, None],
+                                             self.frame_hw)
             # replicate the first frame's cache across the initial window
             # (reference video_depth_stream.py:117)
             self.buffers = tuple(
