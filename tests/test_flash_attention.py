@@ -191,3 +191,38 @@ def test_accum_conv_grad():
     np.testing.assert_allclose(
         float(np.asarray(gp["params"]["kernel"])[0, 0, 0, 0]), fd,
         rtol=0.1)
+
+
+@pytest.mark.parametrize("mode", ["qk", "pv", "all"])
+def test_int8_fused_qkv_close_to_xla(mode):
+    """int8 serving flash (QK^T / P@V on the int8 MXU with in-VMEM
+    dynamic quantization) stays within quantization noise of the fp32
+    XLA attention.  K-centering makes the qk mode exactly
+    softmax-shift-invariant, so the bound covers pure round-off."""
+    rng = np.random.default_rng(7)
+    t, h, d = 290, 4, 64
+    qkv = rng.standard_normal((2, t, 3, h, d)).astype(np.float32)
+    # channel-mean outliers on K and V (the case centering exists for)
+    qkv[:, :, 1, :, 3] += 4.0
+    qkv[:, :, 2, :, 5] += 3.0
+    scale = d ** -0.5
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    ref = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), scale))
+    got = np.asarray(fa.flash_attention_int8_fused_qkv(
+        jnp.asarray(qkv), None, 128, mode=mode))
+    d_abs = np.abs(got - ref)
+    rms = np.sqrt(np.mean(d_abs ** 2)) / np.std(ref)
+    # measured (2026-08-19): qk 0.0028/0.033, pv 0.0049/0.078,
+    # all 0.0056/0.070 (rms/std, max/std) — bounds at ~1.5x
+    assert rms < 0.01, (mode, rms)
+    assert d_abs.max() < 0.12 * np.std(ref), (mode, d_abs.max())
+
+
+def test_int8_fused_qkv_mode_off_is_bf16_kernel():
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(rng.standard_normal((1, 130, 3, 2, 64)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fa.flash_attention_int8_fused_qkv(qkv, None, 128,
+                                                     mode="0")),
+        np.asarray(fa.flash_attention_fused_qkv(qkv, None, 128)))

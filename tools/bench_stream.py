@@ -27,7 +27,8 @@ def main():
     from vdn.pipelines.stream import VideoDepthStreamPipeline
 
     model = build_video_depth_anything("vitl", compute_dtype=jnp.bfloat16,
-                                       quantize="int8" if int8 else None)
+                                       quantize=("int8_static" if int8
+                                                 else None))
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 2, 56, 56, 3), jnp.float32))
     pipe = VideoDepthStreamPipeline(model, params, input_size=518)

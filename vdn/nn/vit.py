@@ -139,8 +139,16 @@ class Attention(nn.Module):
             # relayout copies hit HBM.  (An earlier head-batched variant,
             # flash_attention_qkv, lost to in-VMEM swapaxes — this one does
             # one head per grid step with no in-kernel transposes.)
-            from vdn.ops.pallas.flash_attention import flash_attention_fused_qkv
-            out = flash_attention_fused_qkv(qkv)
+            if self._int8(b * n):
+                # int8 MXU data matmuls (QK^T / P@V quantized in VMEM;
+                # serving-only, VDN_FLASH_INT8 gates the mode)
+                from vdn.ops.pallas.flash_attention import (
+                    flash_attention_int8_fused_qkv)
+                out = flash_attention_int8_fused_qkv(qkv)
+            else:
+                from vdn.ops.pallas.flash_attention import (
+                    flash_attention_fused_qkv)
+                out = flash_attention_fused_qkv(qkv)
         else:
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             out = dot_product_attention(q, k, v, use_flash=False)

@@ -644,6 +644,170 @@ def _fused_qkv_bwd(scale, block_q, res, g):
 flash_attention_fused_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
 
 
+# ---------------- int8 serving forward (no VJP) ----------------
+#
+# Under the int8 serving mode the encoder's weight matmuls already run
+# on the 394-TOPS int8 MXU path (vdn/ops/pallas/int8.py), leaving the
+# bf16 flash kernel as the largest single encoder item.  This variant
+# quantizes the attention *data* matmuls in VMEM:
+#
+# - QK^T: q per-ROW dynamic scales (aq [bq,1] broadcasts over the
+#   logits' sublane axis for free), k per-head-block scalar after
+#   CENTERING k across tokens — subtracting mean_j(k) changes every
+#   logit row by a constant (q_i . k_mean), which softmax cancels
+#   exactly, and it removes the channel-mean outliers that dominate
+#   k's quantization range (the SageAttention trick).  A per-token k
+#   scale would be finer but needs a [tk,1]->[1,tk] sublane->lane
+#   transpose to broadcast over the logit columns; the scalar scale
+#   needs none.
+# - P@V: softmax probabilities have an EXACT static range ([0,1] with
+#   row-max 1 by construction), so p quantizes with the fixed scale
+#   127 — no reduction pass; v takes per-COLUMN scales ([1,d]
+#   broadcasts over the output columns for free).  The row-sum ones
+#   column rides along as a column of 1s (int8), and the 127s cancel
+#   between numerator and denominator.
+#
+# Modes (VDN_FLASH_INT8, in-model A/B knob): "all", "qk", "pv",
+# "0"/off -> bf16 kernel.  Serving-only: no VJP (the trainers never
+# reach this path; jax.grad through it raises like the other int8
+# kernels).  Numerics bounded vs the XLA reference in
+# tests/test_flash_attention.py.
+#
+# A/B'd and LOST (2026-08-19, cached-window bench, int8_static model):
+# bf16 flash 139.6 fps, int8 pv 135.3, int8 all 128.5.  Unlike the
+# weight matmuls (K=1024..4096, full int8 MXU tiles -> 1.7-2x), the
+# attention data dots don't profit: QK^T contracts d=64 (half the MXU
+# depth in EITHER precision, so int8 halves nothing) over lane-sliced
+# operands, the AV output is d+1=65 lanes (half-tile), and the
+# quantize/round/cast VPU passes over the [bq,tk] probabilities are
+# pure additions.  Default OFF — the kernel, tests, and knob stay for
+# re-testing on hardware with a wider int8 advantage.
+_INT8_FLASH_MODE = _os.environ.get("VDN_FLASH_INT8", "0")
+
+
+def _flash_cols_int8_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                            heads_per_block: int, d: int, mode: str):
+    q2 = q_ref[0]                                        # [bq, hb*d]
+    k2 = k_ref[0]                                        # [tk, hb*d]
+    v2 = v_ref[0]
+    tk = k2.shape[0]
+    c2f = jnp.asarray(scale * _LOG2E, jnp.float32)
+    outs = []
+    for hh in range(heads_per_block):
+        sl = slice(hh * d, (hh + 1) * d)
+        qh, kh, vh = q2[:, sl], k2[:, sl], v2[:, sl]
+        if mode in ("qk", "all"):
+            qf = qh.astype(jnp.float32)
+            kf = kh.astype(jnp.float32)
+            # exact softmax-shift invariance: s_ij - q_i.k_mean
+            kf = kf - jnp.mean(kf, axis=0, keepdims=True)
+            aq = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                             1e-30) * (1.0 / 127.0)      # [bq, 1]
+            ak = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-30) * (1.0 / 127.0)
+            qi = jnp.round(qf * (1.0 / aq)).astype(jnp.int8)
+            ki = jnp.round(kf * (1.0 / ak)).astype(jnp.int8)
+            si = jax.lax.dot_general(qi, ki, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            s = si.astype(jnp.float32) * (aq * (ak * c2f))  # [bq, tk]
+        else:
+            s = jax.lax.dot_general(
+                qh * jnp.asarray(scale * _LOG2E, qh.dtype), kh,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        if mode in ("pv", "all"):
+            vf = vh.astype(jnp.float32)
+            # exact affine invariance of the softmax average:
+            # sum_j p_j (v_j - mu) / sum_j p_j + mu == sum p v / sum p —
+            # centering v removes the channel means from the quantized
+            # range at zero error cost (mirror of the k-centering)
+            mu = jnp.mean(vf, axis=0, keepdims=True)     # [1, d]
+            vf = vf - mu
+            av = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True),
+                             1e-30) * (1.0 / 127.0)      # [1, d]
+            vi = jnp.round(vf * (1.0 / av)).astype(jnp.int8)
+            vx = jnp.concatenate(
+                [vi, jnp.full((tk, 1), 1, jnp.int8)], axis=1)
+            # 127*p folded into the exponential: exp2(t + log2 127) —
+            # one VPU pass instead of exp2 + multiply
+            pi = jnp.round(jnp.exp2(s - (m - 6.988684686772166)))\
+                .astype(jnp.int8)
+            pv = jax.lax.dot_general(pi, vx, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            # out = (sum p_q v_q) * av / sum p_q + mu  (the 127s cancel;
+            # the denominator is >= 127: every row's max prob quantizes
+            # to exactly 127)
+            outs.append(pv[:, :d].astype(jnp.float32) * av /
+                        pv[:, d:d + 1].astype(jnp.float32) + mu)
+        else:
+            pb = jnp.exp2(s - m).astype(v2.dtype)
+            vx = jnp.concatenate(
+                [vh, jnp.ones((tk, 1), v2.dtype)], axis=1)
+            pv = jax.lax.dot_general(pb, vx, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            outs.append(pv[:, :d] / pv[:, d:d + 1])
+    o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _flash_int8_call(qkv, scale: float, block_q: int, hb: int, mode: str):
+    """Column-block int8 forward: same blocking as _flash_cols_call
+    (128-wide head-group column views of the fused [B,T,3C] tensor),
+    serving-only (no lse output, no VJP)."""
+    b, t, three, h, d = qkv.shape
+    c = h * d
+    qkv2 = qkv.reshape(b, t, 3 * c)
+    n_colblocks = h // hb
+    bq = _pick_block(t, block_q)
+    grid = (b, n_colblocks, pl.cdiv(t, bq))
+    w = hb * d
+    return pl.pallas_call(
+        functools.partial(_flash_cols_int8_kernel, scale=scale,
+                          heads_per_block=hb, d=d, mode=mode),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+            pl.BlockSpec((1, t, w),
+                         lambda b, g, i, _n=n_colblocks: (b, 0, _n + g)),
+            pl.BlockSpec((1, t, w),
+                         lambda b, g, i, _n=n_colblocks: (b, 0, 2 * _n + g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, w), lambda b, g, i: (b, i, g)),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * d,
+            bytes_accessed=(qkv.size + qkv.size // 3) * qkv.dtype.itemsize,
+            transcendentals=b * h * t * t),
+    )(qkv2, qkv2, qkv2)
+
+
+def flash_attention_int8_fused_qkv(qkv: jnp.ndarray,
+                                   scale: Optional[float] = None,
+                                   block_q: int = DEFAULT_BLOCK_Q,
+                                   mode: Optional[str] = None) -> jnp.ndarray:
+    """int8-MXU flash attention off the fused projection (serving only).
+
+    qkv [B, T, 3, H, D] -> out [B, T, H, D]; same contract as
+    ``flash_attention_fused_qkv`` but the QK^T and/or P@V dots run
+    int8xint8->int32 with in-VMEM dynamic quantization (see the section
+    comment above for the scale scheme).  ``mode`` overrides
+    VDN_FLASH_INT8 ("all"/"qk"/"pv"; anything else falls back to the
+    bf16 kernel).  No VJP — the int8 serving flag never reaches the
+    training path."""
+    mode = _INT8_FLASH_MODE if mode is None else mode
+    b, t, three, h, d = qkv.shape
+    assert three == 3
+    if scale is None:
+        scale = d ** -0.5
+    hb = pick_heads_per_block(h, d)
+    if mode not in ("qk", "pv", "all") or not hb:
+        return flash_attention_fused_qkv(qkv, scale, block_q)
+    out2 = _flash_int8_call(qkv, float(scale), block_q, hb, mode)
+    return out2.reshape(b, t, h, d)
+
+
 def _flash_qkv_kernel(qkv_q, qkv_k, qkv_v, o_ref, *, scale: float, hb: int):
     # qkv_q [1, bq, 1, hb, d]; qkv_k/v [1, tk, 1, hb, d]; o [1, hb, bq, d]
     # Mosaic requires dot batch dims at position 0: head-major in VMEM
