@@ -272,3 +272,48 @@ def test_train_v1_cli_with_eval_and_resume(tmp_path):
            logs[0].read_text().strip().split("\n")][-1]
     assert any(k.startswith("validation/") for k in rec), rec
     main(common + ["--epochs", "2", "--resume"])
+
+
+@pytest.mark.slow
+def test_run_metric_and_pointcloud_cli(tmp_path):
+    """Metric-depth inference CLI (reference metric_depth/run.py) and the
+    pointcloud CLI (reference metric_depth/depth_to_pointcloud.py).
+    Metric checkpoints are layout-identical to the relative ones minus
+    the memory block (the sigmoid head has the same parameters), so the
+    fixture filters a reference DA2 state_dict to pretrained.*/depth_head.*."""
+    from depth_anything_v2.depth_anything_v2 import DepthAnythingV2 as RefDA2
+    torch.manual_seed(0)
+    ref = RefDA2(encoder="vits", features=64,
+                 out_channels=[48, 96, 192, 384]).eval()
+    state = {k: v for k, v in ref.state_dict().items()
+             if k.startswith(("pretrained.", "depth_head."))}
+    ckpt = tmp_path / "metric_vits.pth"
+    torch.save(state, str(ckpt))
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    rng = np.random.default_rng(3)
+    cv2.imwrite(str(img_dir / "a.png"),
+                rng.integers(0, 255, (70, 70, 3), np.uint8))
+
+    outdir = tmp_path / "out"
+    from vdn.cli.run_metric import main
+    main(["--img-path", str(img_dir), "--encoder", "vits",
+          "--load-from", str(ckpt), "--outdir", str(outdir),
+          "--input-size", "56", "--max-depth", "20", "--save-numpy",
+          "--pred-only", "--compute-dtype", "fp32"])
+    depth = np.load(outdir / "a_raw_depth_meter.npy")
+    assert depth.shape == (70, 70)
+    assert depth.min() >= 0 and depth.max() <= 20 + 1e-5
+    assert (outdir / "a.png").exists()
+
+    pc_dir = tmp_path / "pc"
+    from vdn.cli.pointcloud import main as pc_main
+    pc_main(["--img-path", str(img_dir), "--encoder", "vits",
+             "--load-from", str(ckpt), "--outdir", str(pc_dir),
+             "--input-size", "56", "--max-depth", "20",
+             "--compute-dtype", "fp32"])
+    ply = (pc_dir / "a.ply").read_text().splitlines()
+    assert ply[0] == "ply"
+    n = int([l for l in ply if l.startswith("element vertex")][0].split()[-1])
+    assert n > 0 and len(ply) > n  # header + n vertex lines
