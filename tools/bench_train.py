@@ -99,6 +99,11 @@ def main():
                          "metric-depth (SiLog) trainer")
     ap.add_argument("--trace", action="store_true",
                     help="capture one warmed step to profiles/train")
+    ap.add_argument("--ssim", action="store_true",
+                    help="enable ssim_loss_scale=1.0 (the reference's "
+                         "optional MS-SSIM term, loss/loss.py:296-323) — "
+                         "the guard that the separable-conv SSIM blur "
+                         "does not regress the step")
     args = ap.parse_args()
 
     if args.model == "metric":
@@ -123,7 +128,8 @@ def main():
     }
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, 56, 56), jnp.float32))
-    trainer = RefineTrainer(model, initial_lr=1e-5, stable_scale=10.0)
+    trainer = RefineTrainer(model, initial_lr=1e-5, stable_scale=10.0,
+                            ssim_loss_scale=1.0 if args.ssim else 0.0)
     state = trainer.init_state(params)
     from vdn.train.trainer import preprocess_depth_sequences
     input_depths = preprocess_depth_sequences(
@@ -176,8 +182,9 @@ def main():
 
     k0, k1 = args.k
     per_step = (best(k1) - best(k0)) / (k1 - k0)
+    suffix = "_ssim" if args.ssim else ""
     print(json.dumps({
-        "metric": f"train_v4_{args.encoder}_{s}px_b{b}t{t}_step_ms",
+        "metric": f"train_v4_{args.encoder}_{s}px_b{b}t{t}_step_ms{suffix}",
         "step_ms": round(per_step * 1e3, 1),
         "steps_per_sec": round(1.0 / per_step, 3),
         "frames_per_sec": round(b * t / per_step, 2),
