@@ -44,7 +44,7 @@ import jax.numpy as jnp
 _cache = os.environ.get(
     "VDN_BENCH_JAX_CACHE",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-if _cache != "0":
+if _cache and _cache != "0":
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -155,10 +155,15 @@ def main():
     # reused from the previous window exactly as vdn.pipelines.infer_video
     # does by default; each window still produces all 32 depth frames).
     # --no-cache measures the plain re-encode-everything window.
+    def measure(run, *args) -> float:
+        float(run(*args, jnp.int32(1)))  # warmup/compile
+        t_small = _timed(run, *args, k=K_SMALL)
+        t_large = _timed(run, *args, k=K_LARGE)
+        per_window = (t_large - t_small) / (K_LARGE - K_SMALL)
+        return FRAMES / per_window
+
     if "--no-cache" in sys.argv:
-        run = _make_runner(model)
-        float(run(params, x, jnp.int32(1)))  # warmup/compile
-        args = (params, x)
+        fps = fps_uncached = measure(_make_runner(model), params, x)
     else:
         from vdn.pipelines.infer_video import (OVERLAP,
                                                make_cached_window_fns,
@@ -172,22 +177,23 @@ def main():
             full_fn, _ = make_cached_window_fns(model)
             _, feats = full_fn(params, x)  # first window seeds the cache
         x_new = x[:, OVERLAP:]
-        run = _make_cached_runner(model)
-        float(run(params, x_new, feats, jnp.int32(1)))  # warmup/compile
-        args = (params, x_new, feats)
+        fps = measure(_make_cached_runner(model), params, x_new, feats)
+        # apples-to-apples uncached number (re-encode all 32 frames) so
+        # round-over-round ledger deltas stay self-describing
+        fps_uncached = measure(_make_runner(model), params, x)
 
-    t_small = _timed(run, *args, k=K_SMALL)
-    t_large = _timed(run, *args, k=K_LARGE)
-    per_window = (t_large - t_small) / (K_LARGE - K_SMALL)
-
-    fps = FRAMES / per_window
     metric = "video_depth_vitl_518_frames_per_sec_per_chip"
     if quantize:
         metric += "_int8"   # one stable metric name for both int8 modes
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),
+        "value_uncached": round(fps_uncached, 3),
         "unit": "frames/sec",
+        "note": "value = steady-state window w/ cross-window encoder cache"
+                " (the default serving path); value_uncached re-encodes"
+                " all 32 frames",
+        "baseline": "vda_paper_a100_9.1_fps",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
     }))
 

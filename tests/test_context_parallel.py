@@ -158,6 +158,76 @@ def test_context_parallel_streaming_decode_matches():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_context_parallel_chunk_window_matches():
+    """The FAST streaming path (batched chunk-window decode, the
+    stream pipeline's k>1 mode) with the ring buffers SHARDED over seq:
+    each device owns a contiguous shard of the ring's CAP axis, the
+    one-hot window gather distributes over the shards, and one psum
+    rebuilds the per-frame window logit map (vdn/nn/motion.py
+    _chunk_window, CP branch).  Must match the single-device
+    chunk-window decode exactly — which the existing
+    test_streaming_chunked_matches_per_frame ties to the per-frame scan
+    path (reference video_depth_stream.py:133-158)."""
+    mesh = make_mesh(data=2, seq=4)
+    cfg = dict(encoder="vits", features=32, out_channels=(32, 32, 64, 64),
+               use_flash=False)
+    single = VideoDepthAnything(**cfg)
+    parallel = VideoDepthAnything(**cfg, seq_axis=SEQ_AXIS)
+
+    rng = np.random.default_rng(11)
+    t0, k, cap_g, w = 4, 2, 8, 32
+    window = rng.standard_normal((1, t0, 56, 56, 3)).astype(np.float32)
+    chunk = rng.standard_normal((1, k, 56, 56, 3)).astype(np.float32)
+    params = single.init(jax.random.PRNGKey(0), window[:, :2])
+
+    def run_window(m, x):
+        f = m.forward_features(x)
+        return m.forward_depth(f, x.shape)
+
+    _, entries = single.apply(params, window, method=run_window)
+    # ring buffers: t0 live slots, the rest zero (never selected)
+    buffers = tuple(
+        jnp.zeros((e.shape[0], cap_g, e.shape[2]), e.dtype)
+        .at[:, :t0].set(e) for e in entries)
+
+    # full 32-entry windows exactly like the pipeline (repeat the live
+    # slots, frame j's own entry at position w-1; frame 1 also reads
+    # frame 0's in-chunk column)
+    sel0 = [i % t0 for i in range(w - 1)] + [cap_g + 0]
+    sel1 = [i % t0 for i in range(w - 2)] + [cap_g + 0, cap_g + 1]
+    onehot = jax.nn.one_hot(jnp.asarray([sel0, sel1], jnp.int32),
+                            cap_g + k, dtype=jnp.float32)
+
+    def run_chunk(model, params, x, bufs, onehot):
+        def run(m, x):
+            ph, pw = x.shape[2] // 14, x.shape[3] // 14
+            feats = m.forward_features(x)
+            r1, r2, l3, l4 = m.head.decode_pre(feats, ph, pw)
+            windows = tuple((buf, onehot) for buf in bufs)
+            p3, ents = m.head.decode_temporal(
+                l3, l4, tuple(r2.shape[-3:-1]), x.shape[1], caches=windows)
+            return m.head.decode_post(p3, r1, r2, (ph * 14, pw * 14)), ents
+        return model.apply(params, x, method=run)
+
+    ref_depth, ref_ents = run_chunk(single, params, chunk, buffers, onehot)
+
+    sharded = shard_map(
+        lambda p_, x, bufs, oh: run_chunk(parallel, p_, x, bufs, oh),
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, SEQ_AXIS, None), P()),
+        out_specs=(P(), P()), check_vma=False)
+    with mesh:
+        got_depth, got_ents = jax.jit(sharded)(params, chunk, buffers,
+                                               onehot)
+
+    np.testing.assert_allclose(np.asarray(got_depth),
+                               np.asarray(ref_depth),
+                               rtol=2e-4, atol=2e-4)
+    for g, r in zip(got_ents, ref_ents):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_ulysses_matches_ring_and_full():
     from vdn.parallel.context import set_cp_mode, ulysses_attention
     mesh = make_mesh(data=1, seq=8)

@@ -107,6 +107,9 @@ def main():
     args = ap.parse_args()
 
     if args.model == "metric":
+        if args.ssim:
+            ap.error("--ssim only applies to --model refine (the metric "
+                     "trainer has no SSIM term)")
         return bench_metric(args)
 
     from vdn.models.refine import RefineVideoDepth

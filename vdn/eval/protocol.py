@@ -53,7 +53,7 @@ def eval_sequence(pred_disp: np.ndarray, gt_depth: np.ndarray,
 
     a = np.concatenate([pred_masked, np.ones_like(pred_masked)], axis=-1)
     x = np.linalg.lstsq(a, gt_masked, rcond=None)[0]
-    scale, shift = float(x[0]), float(x[1])
+    scale, shift = float(x[0].item()), float(x[1].item())
 
     aligned = np.clip(scale * pred + shift, dataset_min_depth, None)
     if domain == "depth":

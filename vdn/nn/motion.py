@@ -115,9 +115,9 @@ class TemporalAttention(nn.Module):
         if isinstance(cache, tuple):
             # batched chunk-window mode: cache = (ring buffer, window
             # one-hot); all frames of the chunk decode in ONE batched
-            # attention (no per-frame scan) — see _chunk_window
-            assert self.seq_axis is None, \
-                "chunk-window decode is single-device (CP uses the scan)"
+            # attention (no per-frame scan) — see _chunk_window.  With
+            # seq_axis set, the ring buffer is this device's shard of the
+            # CAP axis and the window logits/outputs combine with psums.
             assert self.pos_embedding_type == "ape"
             return self._chunk_window(hidden_states, *cache)
 
@@ -295,10 +295,21 @@ class TemporalAttention(nn.Module):
         stream pipeline's windows are always full; the first frame goes
         through the full-window path instead).
 
+        Context parallel (``seq_axis`` set): ``buf`` is this device's
+        shard of the ring's CAP axis ([N, CAP/p, C]; onehot's ring
+        columns span the GLOBAL capacity) and x/onehot are replicated.
+        The one-hot gather distributes over the column shards — every
+        (frame, window-position) pair has exactly one owning column, so
+        the local partial window-logit map is exact where owned and 0.0
+        elsewhere, and one ``psum`` rebuilds the full [k, W] logit map on
+        every device (W=32 is tiny).  The value matmul psums the same
+        way.  In-chunk columns (and the APE corrections) are owned by
+        the LAST device of the axis, mirroring ``_cached_cp``.
+
         Returns (out [N, k, C], cache_entry [N, k, C] — ring layout).
         """
         n, kf, c = x.shape
-        cap = buf.shape[1]
+        cap = buf.shape[1]   # LOCAL ring columns (== global when no CP)
         w = self.temporal_max_len
         h, dh = self.heads, c // self.heads
         e_cols = x  # [N, k, C]; also the new ring entries
@@ -321,6 +332,22 @@ class TemporalAttention(nn.Module):
         pe_k = to_k(pe).reshape(w, h, dh)
         pe_v = to_v(pe).reshape(w, h, dh)
 
+        axis = self.seq_axis
+        if axis is not None:
+            p = jax.lax.axis_size(axis)
+            cap_g = onehot.shape[2] - kf
+            assert cap_g == cap * p, (
+                "CP chunk-window: global ring capacity must be p * local "
+                f"shard ({cap_g} != {p} * {cap})")
+            my = jax.lax.axis_index(axis)
+            # this device's slice of the column map: its ring shard plus
+            # (last device only) the in-chunk columns
+            oh_ring = jax.lax.dynamic_slice(
+                onehot, (0, 0, my * cap), (kf, w, cap))
+            own_chunk = (my == p - 1).astype(onehot.dtype)
+            onehot = jnp.concatenate(
+                [oh_ring, onehot[:, :, cap_g:] * own_chunk], axis=-1)
+
         lg = functools.partial(jnp.einsum, "njhd,nchd->njhc",
                                preferred_element_type=jnp.float32)
         logits_cols = jnp.concatenate([lg(qh, k_r), lg(qh, k_n)], axis=-1)
@@ -328,14 +355,21 @@ class TemporalAttention(nn.Module):
                          preferred_element_type=jnp.float32)
         # gather each frame's 32 window logits out of the CAP+k columns
         logits_win = jnp.einsum("njhc,jpc->njhp", logits_cols,
-                                onehot.astype(jnp.float32)) + qpe
+                                onehot.astype(jnp.float32))
+        if axis is not None:
+            # exactly one device owns each (frame, position) column;
+            # everyone else contributed exact 0.0 terms
+            logits_win = jax.lax.psum(logits_win, axis)
+        logits_win = logits_win + qpe
         probs = jax.nn.softmax(logits_win * (dh ** -0.5), axis=-1)
         pd = probs.astype(x.dtype)
         # scatter probs back to columns for the shared-column value matmul
         p_cols = jnp.einsum("njhp,jpc->njhc", pd, onehot.astype(x.dtype))
         out = jnp.einsum("njhc,nchd->njhd", p_cols[..., :cap], v_r) \
-            + jnp.einsum("njhc,nchd->njhd", p_cols[..., cap:], v_n) \
-            + jnp.einsum("njhp,phd->njhd", pd, pe_v)
+            + jnp.einsum("njhc,nchd->njhd", p_cols[..., cap:], v_n)
+        if axis is not None:
+            out = jax.lax.psum(out, axis)
+        out = out + jnp.einsum("njhp,phd->njhd", pd, pe_v)
         out = out.reshape(n, kf, c)
         out = Linear(self.query_dim, param_dtype=self.param_dtype,
                      name="to_out_0")(out)
