@@ -112,7 +112,8 @@ def _run_vdn(family: str, encoder: str, cfg: dict, state: dict,
         env = unittest.mock.patch.dict(os.environ,
                                        {"VDN_FORCE_INT8": "1"})
 
-    extra = {"compute_dtype": _np_jnp().bfloat16,
+    import jax.numpy as jnp
+    extra = {"compute_dtype": jnp.bfloat16,
              "quantize": quantize} if quantize else {}
     with env, ctx:
         if family == "video":
@@ -133,10 +134,6 @@ def _run_vdn(family: str, encoder: str, cfg: dict, state: dict,
         return np.stack([pipe.infer_image(f[..., ::-1], input_size)
                          for f in frames])
 
-
-def _np_jnp():
-    import jax.numpy as jnp
-    return jnp
 
 
 def _quant_drift(float_pred: np.ndarray, quant_pred: np.ndarray) -> dict:
