@@ -105,7 +105,8 @@ def test_normal_loss_and_vector_match():
 
     ref_loss = VideoNormalLoss()
     with torch.no_grad():
-        r = ref_loss(torch.from_numpy(np.moveaxis(got_n, -1, 2)),
+        r = ref_loss(torch.from_numpy(np.ascontiguousarray(
+                         np.moveaxis(got_n, -1, 2))),
                      torch.from_numpy(ref_n), torch.from_numpy(mask))
     g = L.video_normal_loss(got_n, np.moveaxis(ref_n, 2, -1),
                             mask.astype(np.float32))
