@@ -163,3 +163,60 @@ def test_fused_ln_mlp_forward_bf16_fast_gelu():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0, atol=0.08)
+
+
+def test_fused_ln_mlp_3d_matches_2d():
+    """The frame-major 3D grid (B, N-blocks) — the encoder's layout,
+    added to kill the tile-misaligned [B,N,C]<->[B*N,C] relayout copies
+    — must match the flat 2D path in forward AND grads (fp32 exact
+    modulo reduction order; N chosen sublane-misaligned like the real
+    1370)."""
+    b, n, c, f = 3, 170, 128, 512  # n % 8 != 0 on purpose
+    flat = _args(n=b * n, c=c, f=f, seed=3)
+    x3 = flat[0].reshape(b, n, c)
+    args3 = (x3,) + flat[1:]
+
+    def loss2(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_ln_mlp_residual(*a, 1e-6) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        out3 = fused_ln_mlp_residual(*args3, 1e-6)
+        out2 = fused_ln_mlp_residual(*flat, 1e-6)
+    np.testing.assert_allclose(np.asarray(out3).reshape(b * n, c),
+                               np.asarray(out2), rtol=0, atol=2e-5)
+
+    g3 = jax.grad(loss2, argnums=tuple(range(8)))(*args3)
+    g2 = jax.grad(loss2, argnums=tuple(range(8)))(*flat)
+    np.testing.assert_allclose(np.asarray(g3[0]).reshape(b * n, c),
+                               np.asarray(g2[0]), rtol=2e-4, atol=2e-4)
+    for a3, a2 in zip(g3[1:], g2[1:]):
+        np.testing.assert_allclose(np.asarray(a3), np.asarray(a2),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ln_mlp_3d_kernel_path_matches_2d_kernel_path():
+    """Force the Pallas BACKWARD kernels (both grids) and compare: the
+    3D bwd kernel + multi-dim dW dots vs the 2D bwd kernel."""
+    import unittest.mock
+    import os
+    from vdn.ops.pallas import mlp as M
+
+    b, n, c, f = 2, 1034, 128, 512
+    flat = _args(n=b * n, c=c, f=f, seed=4)
+    x3 = flat[0].reshape(b, n, c)
+
+    def loss(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return (fused_ln_mlp_residual(*a, 1e-6) ** 2).sum()
+
+    with unittest.mock.patch.object(M, "fused_mlp_bwd_enabled",
+                                    lambda rows: True), \
+            pltpu.force_tpu_interpret_mode():
+        g3 = jax.grad(loss, argnums=(0, 3, 5, 7))(x3, *flat[1:])
+        g2 = jax.grad(loss, argnums=(0, 3, 5, 7))(*flat)
+    np.testing.assert_allclose(np.asarray(g3[0]).reshape(b * n, c),
+                               np.asarray(g2[0]), rtol=2e-4, atol=2e-4)
+    for a3, a2 in zip(g3[1:], g2[1:]):
+        np.testing.assert_allclose(np.asarray(a3), np.asarray(a2),
+                                   rtol=2e-4, atol=2e-4)

@@ -57,6 +57,27 @@ INTERMEDIATE_LAYER_IDX = {
 REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
     "flash_out", "flash_lse", "attn_res")
 
+# + the fused qkv projection buffer: the flash VJP reads it directly
+# (zero-staging backward), so saving it makes the qkv matmul dead code
+# in the remat recompute too — deletes a near-peak [B*N, C]x[C, 3C]
+# matmul per block from the backward (~0.75 ms/layer at vitl b2t8).
+# A/B'd 2026-08-20 and LOST: each save costs [B, N, 3C] bf16 (135 MB at
+# b2t8; all 24 OOM 17.05/15.75 GB), and even partial saves push XLA
+# into remat-compression copies that cost more than the deleted
+# matmuls — 12 saves: 689.6 ms, 6 saves: 686.0 ms vs 674.9 baseline
+# (XLA-counted FLOPs DID drop 76.2T -> 74.5T, so the recompute was
+# genuinely eliminated; the scheduler gave the win back).  Kept behind
+# VDN_REMAT_SAVE_QKV_LAYERS (default 0) for future rigs with more HBM
+# headroom (e.g. b1 or larger chips).
+REMAT_POLICY_SAVE_QKV = jax.checkpoint_policies.save_only_these_names(
+    "flash_out", "flash_lse", "attn_res", "qkv_buf")
+
+
+def remat_policy(n_save_qkv: int = 0):
+    if n_save_qkv > 0:
+        return REMAT_POLICY_SAVE_QKV
+    return REMAT_POLICY
+
 
 class PatchEmbed(nn.Module):
     embed_dim: int
@@ -105,6 +126,8 @@ class Attention(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
     quantize: Optional[str] = None  # "int8": W8A8-dynamic qkv/proj dots
+    save_qkv: bool = False  # name the fused qkv buffer for the remat
+    #                         policy (see REMAT_POLICY_SAVE_QKV)
 
     @nn.compact
     def __call__(self, x, ln=None, residual=None, gamma=None):
@@ -129,6 +152,8 @@ class Attention(nn.Module):
         else:
             assert ln is None  # float path: caller pre-norms
             qkv = qkv_lin(x)
+            if self.save_qkv:
+                qkv = checkpoint_name(qkv, "qkv_buf")
         qkv = qkv.reshape(b, n, 3, h, c // h)
         use_flash = self.use_flash
         if use_flash is None:
@@ -178,6 +203,7 @@ class Block(nn.Module):
     param_dtype: Dtype = jnp.float32
     use_flash: Optional[bool] = None
     quantize: Optional[str] = None  # "int8": W8A8-dynamic weight matmuls
+    save_qkv: bool = False  # see Attention.save_qkv
 
     @nn.compact
     def __call__(self, x):
@@ -193,7 +219,7 @@ class Block(nn.Module):
         norm1 = LayerNorm(param_dtype=self.param_dtype, name="norm1")
         ls1 = LayerScale(c, self.param_dtype, name="ls1")
         attn = Attention(self.num_heads, self.param_dtype, self.use_flash,
-                         self.quantize, name="attn")
+                         self.quantize, self.save_qkv, name="attn")
         if int8_path:
             # LN1 rides inside the int8 qkv kernel; LayerScale + the
             # block residual ride the out-projection kernel epilogue
@@ -278,12 +304,19 @@ class DinoVisionTransformer(nn.Module):
         self.mask_token = self.param("mask_token", nn.initializers.zeros,
                                      (1, self.embed_dim), self.param_dtype)
         block_cls = Block
+        n_save_qkv = 0
         if self.remat:
-            block_cls = nn.remat(Block, policy=REMAT_POLICY)
+            # VDN_REMAT_SAVE_QKV_LAYERS > 0 saves the fused qkv buffer
+            # on the first K blocks — a LOST A/B on this rig (see the
+            # note at REMAT_POLICY_SAVE_QKV), kept for HBM-richer rigs
+            import os
+            n_save_qkv = int(os.environ.get("VDN_REMAT_SAVE_QKV_LAYERS",
+                                            "0"))
+            block_cls = nn.remat(Block, policy=remat_policy(n_save_qkv))
         self.blocks = [
             block_cls(self.num_heads, self.mlp_ratio, self.ffn,
                       self.param_dtype, self.use_flash, self.quantize,
-                      name=f"blocks_{i}")
+                      i < n_save_qkv, name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.norm = LayerNorm(param_dtype=self.param_dtype, name="norm")

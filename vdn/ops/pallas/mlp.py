@@ -43,7 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 # tuning sweeps: tools/tune_kernels.sh; tune IN-MODEL only — isolated
 # microbenches disagree with in-model ordering on this rig.
 import os as _os
-_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BLOCK_ROWS", "256"))
+# 344 = ceil(1370/4) rounded to sublanes: 4 blocks tile a 1370-token
+# frame with 0.4% pad on the frame-major 3D grid (in-model sweep
+# 2026-08-20: 344/344 -> 644.0 ms/step vs 256/256 657.5, 280/280
+# 645.0, 456 fwd 663.7, 464/688 bwd 656.8/658.8)
+_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BLOCK_ROWS", "344"))
 _F_CHUNKS = int(_os.environ.get("VDN_MLP_F_CHUNKS", "4"))
 
 
@@ -148,6 +152,7 @@ def _ln_mlp_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 @functools.partial(jax.jit, static_argnames=("eps",))
 def _ln_mlp_pallas(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                    eps: float):
+    """2D [N, C] entry (tests / flat callers)."""
     n, c = x2d.shape
     f = w1.shape[1]
     dt = x2d.dtype
@@ -184,13 +189,54 @@ def _ln_mlp_pallas(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     )(x2d, row(ln_scale), row(ln_bias), w1, row(b1), w2, row(b2), row(gamma))
 
 
-_BWD_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BWD_BLOCK_ROWS", "256"))
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _ln_mlp_pallas3(x3d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                    eps: float):
+    """3D-native [B, N, C] forward: grid (B, N-blocks), the leading dim
+    squeezed out of each block (BlockSpec None dim), so the kernel body
+    is the 2D one.  Exists because N=1370 is not sublane-aligned: the
+    [B, N, C] <-> [B*N, C] reshapes around the 2D kernel are REAL
+    relayout copies (~0.12-0.18 ms each, 6 per encoder layer in the
+    b2t8 train trace 2026-08-20 — the same pathology the int8 kernels
+    fixed with frame-major grids, vdn/ops/pallas/int8.py)."""
+    b, n, c = x3d.shape
+    f = w1.shape[1]
+    dt = x3d.dtype
+    w1, w2 = w1.astype(dt), w2.astype(dt)
+    bn = min(n, _BLOCK_ROWS)
+    grid = (b, pl.cdiv(n, bn))
+    f_chunks = _F_CHUNKS if f % _F_CHUNKS == 0 else 1
+    row = lambda a: a.reshape(1, -1)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda bi, i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps, f_chunks=f_chunks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, bn, c), lambda bi, i: (bi, i, 0)),
+            fixed((1, c)), fixed((1, c)), fixed((c, f)), fixed((1, f)),
+            fixed((f, c)), fixed((1, c)), fixed((1, c)),
+        ],
+        out_specs=pl.BlockSpec((None, bn, c), lambda bi, i: (bi, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n * c * f,
+            bytes_accessed=(2 * b * n * c + 2 * c * f) * dt.itemsize,
+            transcendentals=b * n * f),
+    )(x3d, row(ln_scale), row(ln_bias), w1, row(b1), w2, row(b2),
+      row(gamma))
+
+
+_BWD_BLOCK_ROWS = int(_os.environ.get("VDN_MLP_BWD_BLOCK_ROWS", "344"))  # see _BLOCK_ROWS note
 
 
 def _mlp_bwd_dx_kernel(x_ref, g_ref, ls_ref, lb_ref, w1_ref, w1t_ref,
                        b1_ref, w2t_ref, gam_ref,
                        dx_ref, y_ref, h_ref, dhp_ref, dls_ref, dlb_ref,
-                       db1_ref, *, eps: float, f_chunks: int, n_total: int):
+                       db1_ref, *, eps: float, f_chunks: int, n_total: int,
+                       row_axis: int = 0):
     """One row block of the MLP-tail backward.
 
     Recomputes LN -> fc1 -> gelu in VMEM (remat), forms dh = go @ W2^T,
@@ -202,7 +248,13 @@ def _mlp_bwd_dx_kernel(x_ref, g_ref, ls_ref, lb_ref, w1_ref, w1t_ref,
     the train trace (fusion.68 / .911 / .2494, 4.0 ms/block vs the
     2.8 ms dense ideal).
     """
-    i = pl.program_id(0)
+    # row_axis: which grid axis is the row-block axis (1 on the 3D
+    # frame-major grid, 0 on the flat 2D grid); leading axes only join
+    # the first-step predicate for the cross-block reductions
+    i = pl.program_id(row_axis)
+    first = i == 0
+    for ax in range(row_axis):
+        first = jnp.logical_and(first, pl.program_id(ax) == 0)
     f32 = jnp.float32
     x = x_ref[:]
     g2 = g_ref[:]
@@ -245,11 +297,11 @@ def _mlp_bwd_dx_kernel(x_ref, g_ref, ls_ref, lb_ref, w1_ref, w1t_ref,
         db1c = jnp.sum(jnp.where(valid, dhp.astype(f32), 0.0), axis=0,
                        keepdims=True)
 
-        @pl.when(i == 0)
+        @pl.when(first)
         def _init():
             db1_ref[:, sl] = db1c
 
-        @pl.when(i > 0)
+        @pl.when(jnp.logical_not(first))
         def _acc():
             db1_ref[:, sl] += db1c
 
@@ -263,12 +315,12 @@ def _mlp_bwd_dx_kernel(x_ref, g_ref, ls_ref, lb_ref, w1_ref, w1t_ref,
     dls_p = jnp.sum(dyv * jnp.where(valid, xh, 0.0), axis=0, keepdims=True)
     dlb_p = jnp.sum(dyv, axis=0, keepdims=True)
 
-    @pl.when(i == 0)
+    @pl.when(first)
     def _init_ln():
         dls_ref[:] = dls_p
         dlb_ref[:] = dlb_p
 
-    @pl.when(i > 0)
+    @pl.when(jnp.logical_not(first))
     def _acc_ln():
         dls_ref[:] += dls_p
         dlb_ref[:] += dlb_p
@@ -336,6 +388,62 @@ def _mlp_bwd_dx_pallas(x2d, g2d, ln_scale, ln_bias, w1, b1, w2, gamma,
     return outs
 
 
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _mlp_bwd_dx_pallas3(x3d, g3d, ln_scale, ln_bias, w1, b1, w2, gamma,
+                        eps: float):
+    """3D-native [B, N, C] backward-dx (see _ln_mlp_pallas3 — avoids the
+    tile-misaligned [B, N, C] <-> [B*N, C] relayout copies around the 2D
+    kernel).  Returns (dx, y, h, dhpre, dls, dlb, db1) with the row
+    tensors in [B, N, *] layout for the XLA-side multi-dim dW dots."""
+    b, n, c = x3d.shape
+    f = w1.shape[1]
+    dt = x3d.dtype
+    w1_dt = w1.astype(dt)
+    w2_dt = w2.astype(dt)
+    bn = min(n, _BWD_BLOCK_ROWS)
+    grid = (b, pl.cdiv(n, bn))
+    f_chunks = _F_CHUNKS if f % _F_CHUNKS == 0 else 1
+    row = lambda a: a.reshape(1, -1)
+    kernel = functools.partial(_mlp_bwd_dx_kernel, eps=eps,
+                               f_chunks=f_chunks, n_total=n, row_axis=1)
+    fixed = lambda shape: pl.BlockSpec(shape, lambda bi, i: (0, 0))
+    rowblk = lambda width: pl.BlockSpec((None, bn, width),
+                                        lambda bi, i: (bi, i, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            rowblk(c), rowblk(c), fixed((1, c)), fixed((1, c)),
+            fixed((c, f)), fixed((f, c)), fixed((1, f)), fixed((c, f)),
+            fixed((1, c)),
+        ],
+        out_specs=[
+            rowblk(c), rowblk(c), rowblk(f), rowblk(f),
+            fixed((1, c)), fixed((1, c)), fixed((1, f)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), dt),
+            jax.ShapeDtypeStruct((b, n, c), dt),
+            jax.ShapeDtypeStruct((b, n, f), dt),
+            jax.ShapeDtypeStruct((b, n, f), dt),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # sequential grid: dls/dlb/db1 accumulate across all blocks
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * n * c * f,
+            bytes_accessed=(3 * b * n * c + 2 * b * n * f + 3 * c * f)
+            * dt.itemsize,
+            transcendentals=2 * b * n * f),
+    )(x3d, g3d, row(ln_scale), row(ln_bias), w1_dt, w1_dt.T, row(b1),
+      w2_dt.T, row(gamma))
+    return outs
+
+
 def fused_mlp_bwd_enabled(rows: int) -> bool:
     """Pallas backward-dx kernel gate (TPU hot path only; the XLA
     hand-written VJP below remains the CPU / small-shape / reference
@@ -375,10 +483,19 @@ def _reference_tail(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_ln_mlp_residual(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                           eps: float = 1e-6):
-    """x [..., C] -> x + gamma * fc2(gelu(fc1(LN(x)))), fused on TPU."""
+    """x [..., C] -> x + gamma * fc2(gelu(fc1(LN(x)))), fused on TPU.
+
+    3D+ inputs run the frame-major 3D grid (no [B, N, C] <-> [B*N, C]
+    relayout — N=1370 is not sublane-aligned, so those reshapes are
+    real copies); 2D inputs keep the flat grid."""
     shape = x.shape
-    out = _ln_mlp_pallas(x.reshape(-1, shape[-1]), ln_scale, ln_bias,
-                         w1, b1, w2, b2, gamma, eps)
+    if x.ndim >= 3:
+        out = _ln_mlp_pallas3(x.reshape(-1, shape[-2], shape[-1]),
+                              ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                              eps)
+    else:
+        out = _ln_mlp_pallas(x.reshape(-1, shape[-1]), ln_scale, ln_bias,
+                             w1, b1, w2, b2, gamma, eps)
     return out.reshape(shape)
 
 
@@ -474,24 +591,42 @@ def _bwd(eps, res, g):
 def _bwd_via_kernel(eps, res, g):
     """Kernel-path backward: _mlp_bwd_dx_pallas for dx/y/h/dhpre and the
     LN/bias reductions, XLA dots only for dW1/dW2 (+ the reassociated
-    dgamma — see the note in the XLA path)."""
+    dgamma — see the note in the XLA path).  3D+ inputs keep the
+    frame-major layout end-to-end: the kernel runs the 3D grid and the
+    dW dots contract over BOTH leading dims (dot_general handles the
+    multi-dim contraction without a materialized reshape — the 2D path's
+    [B, N, *] <-> [B*N, *] reshapes are real relayout copies)."""
     x, ln_scale, ln_bias, w1, b1, w2, b2, gamma = res
     shape = x.shape
     c = shape[-1]
     f32 = jnp.float32
-    x2 = x.reshape(-1, c)
-    g2 = g.reshape(-1, c)
-    dx2, y, h, dhpre, dls, dlb, db1 = _mlp_bwd_dx_pallas(
-        x2, g2, ln_scale, ln_bias, w1, b1, w2, gamma, eps)
+    if x.ndim >= 3:
+        x3 = x.reshape(-1, shape[-2], c)
+        g3 = g.reshape(-1, shape[-2], c)
+        dx3, y, h, dhpre, dls, dlb, db1 = _mlp_bwd_dx_pallas3(
+            x3, g3, ln_scale, ln_bias, w1, b1, w2, gamma, eps)
+        cdims = ((0, 1), (0, 1))
+        dotT = lambda a, b_: jax.lax.dot_general(  # a^T @ b over (B, N)
+            a, b_, (cdims, ((), ())))
+        t = jnp.sum(g3.astype(f32), axis=(0, 1))
+        s_mat = dotT(h, g3).astype(f32)                    # [f, c]
+        dw1 = dotT(y, dhpre).astype(w1.dtype)              # [c, f]
+        dx_out = dx3.reshape(shape)
+    else:
+        x2 = x.reshape(-1, c)
+        g2 = g.reshape(-1, c)
+        dx2, y, h, dhpre, dls, dlb, db1 = _mlp_bwd_dx_pallas(
+            x2, g2, ln_scale, ln_bias, w1, b1, w2, gamma, eps)
+        t = jnp.sum(g2.astype(f32), axis=0)
+        s_mat = jnp.matmul(h.T, g2).astype(f32)            # [f, c]
+        dw1 = jnp.matmul(y.T, dhpre).astype(w1.dtype)
+        dx_out = dx2.reshape(shape)
     gam_f = gamma.astype(f32)
-    t = jnp.sum(g2.astype(f32), axis=0)
-    s_mat = jnp.matmul(h.T, g2).astype(f32)                # [f, c]
     dw2 = (s_mat * gam_f).astype(w2.dtype)
     dgamma = (jnp.sum(w2.astype(f32) * s_mat, axis=0)
               + b2.astype(f32) * t).astype(gamma.dtype)
     db2 = (gam_f * t).astype(b2.dtype)
-    dw1 = jnp.matmul(y.T, dhpre).astype(w1.dtype)
-    return (dx2.reshape(shape),
+    return (dx_out,
             dls.reshape(-1).astype(ln_scale.dtype),
             dlb.reshape(-1).astype(ln_bias.dtype),
             dw1, db1.reshape(-1).astype(b1.dtype), dw2, db2, dgamma)

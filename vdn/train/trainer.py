@@ -212,6 +212,14 @@ class RefineTrainer:
         (_, loss_dict), grads = jax.value_and_grad(
             self._loss, has_aux=True)(state.params, input_depths, gt_disp,
                                       masks)
+        import os
+        if os.environ.get("VDN_GRAD_BARRIER", "1") != "0":
+            # keep the AdamW update out of the dW dot fusions: the fused
+            # epilogue drags the encoder dW matmuls to ~70-80% of peak
+            # (b2t8 trace 2026-08-20); the barrier is an identity on the
+            # grads and A/B'd 675.9 -> 668.3 ms.  VDN_GRAD_BARRIER=0
+            # reverts.
+            grads = jax.lax.optimization_barrier(grads)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
