@@ -161,17 +161,33 @@ def ulysses_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jax.lax.all_to_all(out, axis_name, 1, 0, tiled=True)
 
 
-# default context-parallel attention flavor
-# ("ring" | "alltoall" | "ring_pallas" — the fused blockwise step kernel,
-#  vdn/ops/pallas/ring_attention.py; override via VDN_CP_MODE)
+# Context-parallel attention flavor ("auto" | "ring" | "alltoall" |
+# "ring_pallas"; override via VDN_CP_MODE / set_cp_mode).
+#
+# "auto" picks per shape from the recorded single-chip step-kernel A/B
+# (tools/bench_ring.py, v5e, N=1369 H=8 D=128 bf16, 2026-08-20 — the
+# ring degenerates to p=1 there, so this measures the per-device step
+# compute, not ICI overlap):
+#
+#     T    ring_xla    ring_pallas    pallas/xla
+#     64    6.975 ms     8.727 ms       0.80x
+#    128   12.635 ms    11.269 ms       1.12x
+#    256   34.360 ms    21.956 ms       1.56x
+#
+# The XLA step (materialized [B,H,Tq,Tk] logits) wins below ~T=128 per
+# shard — the flagship 32-frame window's shards are far below that —
+# and the fused Pallas block kernel (logits stay in VMEM) wins and
+# keeps widening beyond it, so "auto" switches on the local K/V length
+# at 128.
 import os as _os
 
-_CP_MODE = _os.environ.get("VDN_CP_MODE", "ring")
+_CP_MODE = _os.environ.get("VDN_CP_MODE", "auto")
+_PALLAS_MIN_T = 128
 
 
 def set_cp_mode(mode: str):
     global _CP_MODE
-    assert mode in ("ring", "alltoall", "ring_pallas")
+    assert mode in ("auto", "ring", "alltoall", "ring_pallas")
     globals()["_CP_MODE"] = mode
 
 
@@ -180,7 +196,10 @@ def cp_attention(q, k, v, axis_name: str,
     """Dispatch to the configured context-parallel attention flavor."""
     if _CP_MODE == "alltoall":
         return ulysses_attention(q, k, v, axis_name, scale)
-    if _CP_MODE == "ring_pallas":
+    mode = _CP_MODE
+    if mode == "auto":
+        mode = "ring_pallas" if k.shape[1] >= _PALLAS_MIN_T else "ring"
+    if mode == "ring_pallas":
         from vdn.ops.pallas.ring_attention import ring_attention_pallas
         return ring_attention_pallas(q, k, v, axis_name, scale)
     return ring_attention(q, k, v, axis_name, scale)
