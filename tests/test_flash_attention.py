@@ -226,3 +226,26 @@ def test_int8_fused_qkv_mode_off_is_bf16_kernel():
         np.asarray(fa.flash_attention_int8_fused_qkv(qkv, None, 128,
                                                      mode="0")),
         np.asarray(fa.flash_attention_fused_qkv(qkv, None, 128)))
+
+
+def test_flash_colbias_matches_xla():
+    """Column-bias flash flavor (memory-bank slot masks) vs the XLA
+    path, -inf masked prefix included."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdn.ops.attention import _xla_attention
+    from vdn.ops.pallas.flash_attention import flash_attention_colbias
+
+    rng = np.random.default_rng(9)
+    b, tq, tk, h, d = 1, 277, 6 * 277, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, tk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, tk, h, d)), jnp.float32)
+    bias = jnp.where(jnp.arange(tk) < 2 * 277, -jnp.inf, 0.0)
+
+    ref = _xla_attention(q, k, v, d ** -0.5,
+                         bias[None, None, None, :])
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_colbias(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

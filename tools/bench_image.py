@@ -48,8 +48,16 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.PRNGKey(1),
                           (1, args.size, args.size, 3), jnp.float32)
-    params = jax.jit(model.init)(rng, jnp.zeros((1, 56, 56, 3),
-                                                jnp.float32))
+
+    def init_all(m, x):
+        # touch forward AND the memory encoder so the param tree is
+        # complete (encode_memory owns the MemoryEncoder params)
+        depth, feat = m(x, None)
+        return m.encode_memory(feat, depth)
+
+    params = jax.jit(
+        lambda r, x: model.init(r, x, method=init_all))(
+            rng, jnp.zeros((1, 56, 56, 3), jnp.float32))
 
     # seed the bank to steady state (count saturates at capacity=6)
     depth0, mem_feat = jax.jit(lambda p, x: model.apply(p, x, None))(

@@ -105,7 +105,13 @@ class RoPEAttention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
 
-        out = dot_product_attention(q, k, v, bias=bias, use_flash=False)
+        # auto backend: the memory cross-attention (1369 queries x
+        # cap*1369 kv) dominated the single-image step on the XLA path
+        # (materialized [H, Tq, ~8k] fp32 logits; 5.0 of 9.5 ms/frame,
+        # trace 2026-08-20) — the full-K flash kernel takes it with the
+        # slot mask as a per-column bias (flash_attention_colbias);
+        # short/CPU shapes keep XLA via flash_enabled
+        out = dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(b, nq, c)
         return Linear(c, param_dtype=self.param_dtype, name="out_proj")(out)
 

@@ -49,6 +49,13 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_flash is None:
         use_flash = flash_enabled(q.shape[1], k.shape[1], bias)
     if use_flash:
+        if bias is not None:
+            # column-bias flavor (memory-bank slot masks): bias
+            # broadcastable to [1, 1, 1, Tk]
+            from vdn.ops.pallas.flash_attention import \
+                flash_attention_colbias
+            return flash_attention_colbias(q, k, v,
+                                           bias.reshape(-1), scale)
         from vdn.ops.pallas.flash_attention import flash_attention
         return flash_attention(q, k, v, scale)
     return _xla_attention(q, k, v, scale, bias)
@@ -60,8 +67,14 @@ def flash_enabled(tq: int, tk: int, bias=None) -> bool:
     layer (2.4x; tools/bench_attention.py), and end-to-end the XLA path
     also pays the fp32 [B,H,T,T] logits in HBM (3.8 GB/window, the
     round-1 OOM source).  Short sequences (temporal attention, f<=32)
-    and biased attention stay on the XLA path."""
-    return (bias is None and tq >= _FLASH_MIN_SEQ and tk >= _FLASH_MIN_SEQ
+    stay on the XLA path.  Biased attention qualifies only for
+    per-COLUMN biases (shape broadcastable to [1,1,1,Tk] — the
+    memory-bank slot masks), which the colbias kernel flavor handles;
+    general [.., Tq, Tk] biases stay XLA."""
+    col_bias_ok = bias is None or (
+        bias.ndim == 4 and bias.shape[0] == 1 and bias.shape[1] == 1
+        and bias.shape[2] == 1)
+    return (col_bias_ok and tq >= _FLASH_MIN_SEQ and tk >= _FLASH_MIN_SEQ
             and _on_tpu())
 
 

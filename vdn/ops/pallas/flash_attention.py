@@ -99,6 +99,85 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (pv[:, :d] / pv[:, d:d + 1]).astype(o_ref.dtype)
 
 
+def _flash_colbias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *,
+                          scale: float):
+    """_flash_kernel + an additive per-COLUMN logits bias [1, tk]
+    (natural-log units, -inf allowed): the memory-bank mask shape —
+    vdn/nn/memory.py builds [1,1,1,cap*hw] slot-validity biases.  The
+    bias folds into the base-2 logits as bias * log2(e)."""
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [tk, d]
+    d = q.shape[1]
+    tk = k.shape[0]
+    s = jax.lax.dot_general(
+        q * jnp.asarray(scale * _LOG2E, q.dtype), k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [bq, tk] f32
+    s = s + b_ref[:].astype(jnp.float32) * _LOG2E        # [1, tk] bcast
+    p = _softmax_rows(s, axis=1, v_dtype=v_ref.dtype)
+    vx = jnp.concatenate(
+        [v_ref[0], jnp.ones((tk, 1), v_ref.dtype)], axis=1)
+    pv = jax.lax.dot_general(
+        p, vx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [bq, d+1]
+    o_ref[0] = (pv[:, :d] / pv[:, d:d + 1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q"))
+def _flash_bhtd_colbias(q, k, v, bias, scale: float, block_q: int):
+    """q [BH, Tq, D], k/v [BH, Tk, D], bias [1, Tk] -> [BH, Tq, D]."""
+    bh, tq, d = q.shape
+    tk = k.shape[1]
+    # memory-bank kv rows run long (cap * 1369 ~ 8214): cap the q block
+    # so the fp32 [bq, tk] logits stay within a sane VMEM slice
+    max_bq = max(128, (24 * 1024 * 1024 // (4 * tk)) // 128 * 128)
+    bq = _pick_block(tq, min(block_q, max_bq))
+    grid = (bh, pl.cdiv(tq, bq))
+    return pl.pallas_call(
+        functools.partial(_flash_colbias_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, tk), lambda b, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tq * tk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=bh * tq * tk),
+    )(q, k, v, bias)
+
+
+def flash_attention_colbias(q: jnp.ndarray, k: jnp.ndarray,
+                            v: jnp.ndarray, col_bias: jnp.ndarray,
+                            scale: Optional[float] = None,
+                            block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
+    """Flash attention over [B, Tq|Tk, H, D] with an additive per-column
+    logits bias [Tk] (shared across batch/heads/queries — the
+    memory-bank slot mask).  Serving-only: no VJP (the image/SAM2
+    memory paths are inference surfaces; grad raises at the
+    pallas_call like the other serving kernels)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+
+    def to_bhtd(x, t):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, t, d)
+
+    out = _flash_bhtd_colbias(to_bhtd(q, tq), to_bhtd(k, tk),
+                              to_bhtd(v, tk),
+                              col_bias.reshape(1, tk).astype(jnp.float32),
+                              float(scale), block_q)
+    return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+
+
 def _pick_block(tq: int, target: int) -> int:
     """Largest multiple-of-128 block <= target covering tq evenly-ish."""
     if tq <= target:
