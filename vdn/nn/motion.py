@@ -316,21 +316,50 @@ class TemporalAttention(nn.Module):
 
         pe = jnp.asarray(sinusoidal_positional_encoding(
             self.query_dim, w)).astype(x.dtype)
-        to_q = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                      name="to_q")
-        to_k = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                      name="to_k")
-        to_v = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                      name="to_v")
+        # HEAD-MAJOR algebra: projections emit [h, n, *, dh] straight
+        # from the MXU via weights reshaped [h, C, dh], and the
+        # out-projection contracts (h, dh) back to [n, k, C] in one dot
+        # — the earlier [n, *, C] -> [n, *, h, dh] einsum head splits
+        # forced 1.15 ms layout copies per K/V tensor at the finest
+        # module (N=5476 stream trace 2026-08-20); this form has no
+        # relayout at all.
+        dt = x.dtype
+        wq, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_q")(x, params_only=True)
+        wk, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_k")(x, params_only=True)
+        wv, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_v")(x, params_only=True)
+        wo, bo = Linear(self.query_dim, param_dtype=self.param_dtype,
+                        name="to_out_0")(x, params_only=True)
+        from vdn.ops.pallas.chunk_window import (chunk_window_attention,
+                                                 chunk_window_enabled)
+        if self.seq_axis is None and chunk_window_enabled(n, c, cap, kf):
+            # TPU streaming hot path: the whole per-frame-window block
+            # (projections + one-hot gather + softmax + AV + out-proj)
+            # in one Pallas kernel — logits and head splits never touch
+            # HBM (see vdn/ops/pallas/chunk_window.py)
+            out = chunk_window_attention(
+                x, buf, onehot, pe, wq, wk, wv, wo, bo, h,
+                float(dh ** -0.5))
+            return out, e_cols
 
-        qh = to_q(x + pe[w - 1]).reshape(n, kf, h, dh)
-        ring = buf.astype(x.dtype)
-        k_r = to_k(ring).reshape(n, cap, h, dh)
-        k_n = to_k(e_cols).reshape(n, kf, h, dh)
-        v_r = to_v(ring).reshape(n, cap, h, dh)
-        v_n = to_v(e_cols).reshape(n, kf, h, dh)
-        pe_k = to_k(pe).reshape(w, h, dh)
-        pe_v = to_v(pe).reshape(w, h, dh)
+        hview = lambda wgt: wgt.astype(dt).reshape(
+            c, h, dh).transpose(1, 0, 2)                 # [h, C, dh]
+        wq_h, wk_h, wv_h = hview(wq), hview(wk), hview(wv)
+        proj = functools.partial(jnp.einsum, "njc,hcd->hnjd")
+
+        ring = buf.astype(dt)
+        qh = proj(x + pe[w - 1], wq_h)                   # [h, n, kf, dh]
+        # ring and in-chunk columns stay SEPARATE operands: a
+        # [h, n, cap+k, dh] concat forces a full relayout copy of both
+        # K and V (1.16 ms each at N=5476); concatenating in the tiny
+        # fp32 logits space (and slicing probs) is absorbed into the
+        # dots instead
+        k_r, k_n = proj(ring, wk_h), proj(e_cols, wk_h)
+        v_r, v_n = proj(ring, wv_h), proj(e_cols, wv_h)
+        pe_k = jnp.einsum("pc,hcd->hpd", pe, wk_h)       # [h, w, dh]
+        pe_v = jnp.einsum("pc,hcd->hpd", pe, wv_h)
 
         axis = self.seq_axis
         if axis is not None:
@@ -348,13 +377,13 @@ class TemporalAttention(nn.Module):
             onehot = jnp.concatenate(
                 [oh_ring, onehot[:, :, cap_g:] * own_chunk], axis=-1)
 
-        lg = functools.partial(jnp.einsum, "njhd,nchd->njhc",
+        lg = functools.partial(jnp.einsum, "hnjd,hncd->hnjc",
                                preferred_element_type=jnp.float32)
         logits_cols = jnp.concatenate([lg(qh, k_r), lg(qh, k_n)], axis=-1)
-        qpe = jnp.einsum("njhd,phd->njhp", qh, pe_k,
+        qpe = jnp.einsum("hnjd,hpd->hnjp", qh, pe_k,
                          preferred_element_type=jnp.float32)
         # gather each frame's 32 window logits out of the CAP+k columns
-        logits_win = jnp.einsum("njhc,jpc->njhp", logits_cols,
+        logits_win = jnp.einsum("hnjc,jpc->hnjp", logits_cols,
                                 onehot.astype(jnp.float32))
         if axis is not None:
             # exactly one device owns each (frame, position) column;
@@ -362,17 +391,17 @@ class TemporalAttention(nn.Module):
             logits_win = jax.lax.psum(logits_win, axis)
         logits_win = logits_win + qpe
         probs = jax.nn.softmax(logits_win * (dh ** -0.5), axis=-1)
-        pd = probs.astype(x.dtype)
+        pd = probs.astype(dt)
         # scatter probs back to columns for the shared-column value matmul
-        p_cols = jnp.einsum("njhp,jpc->njhc", pd, onehot.astype(x.dtype))
-        out = jnp.einsum("njhc,nchd->njhd", p_cols[..., :cap], v_r) \
-            + jnp.einsum("njhc,nchd->njhd", p_cols[..., cap:], v_n)
+        p_cols = jnp.einsum("hnjp,jpc->hnjc", pd, onehot.astype(dt))
+        out = jnp.einsum("hnjc,hncd->hnjd", p_cols[..., :cap], v_r) \
+            + jnp.einsum("hnjc,hncd->hnjd", p_cols[..., cap:], v_n)
         if axis is not None:
             out = jax.lax.psum(out, axis)
-        out = out + jnp.einsum("njhp,phd->njhd", pd, pe_v)
-        out = out.reshape(n, kf, c)
-        out = Linear(self.query_dim, param_dtype=self.param_dtype,
-                     name="to_out_0")(out)
+        out = out + jnp.einsum("hnjp,hpd->hnjd", pd, pe_v)
+        # fused out-projection: contract (h, dh) -> C, no head-merge copy
+        wo_h = wo.astype(dt).reshape(h, dh, self.query_dim)
+        out = jnp.einsum("hnjd,hdc->njc", out, wo_h) + bo.astype(dt)
         return out, e_cols
 
     def _cached_cp(self, x_new, cache, cache_len, c):

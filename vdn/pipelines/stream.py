@@ -30,7 +30,10 @@ INFER_LEN = 32
 OVERLAP = 10
 INTERP_LEN = 8
 GAP = (INFER_LEN - OVERLAP) * 2 - 1 - (OVERLAP - INTERP_LEN)  # == 41
-CAPACITY = GAP + 2  # max logical entries ever alive (43)
+# max logical entries ever alive (43).  (A sublane-padded CAPACITY=48
+# variant for the fused chunk-window kernel was A/B'd and reverted with
+# the kernel — see vdn/ops/pallas/chunk_window.py chunk_window_enabled.)
+CAPACITY = GAP + 2
 
 
 class VideoDepthStreamPipeline:
