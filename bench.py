@@ -185,14 +185,19 @@ def main():
     metric = "video_depth_vitl_518_frames_per_sec_per_chip"
     if quantize:
         metric += "_int8"   # one stable metric name for both int8 modes
+    if "--no-cache" in sys.argv:
+        note = ("--no-cache: value = plain window (re-encodes all 32 "
+                "frames); equals value_uncached")
+    else:
+        note = ("value = steady-state window w/ cross-window encoder cache"
+                " (the default serving path); value_uncached re-encodes"
+                " all 32 frames")
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),
         "value_uncached": round(fps_uncached, 3),
         "unit": "frames/sec",
-        "note": "value = steady-state window w/ cross-window encoder cache"
-                " (the default serving path); value_uncached re-encodes"
-                " all 32 frames",
+        "note": note,
         "baseline": "vda_paper_a100_9.1_fps",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 3),
     }))

@@ -192,6 +192,19 @@ class Sam2ImagePredictor:
                 multimask_output=mm, apply_obj_gating=False,
                 method=model.predict),
             static_argnums=(4,))
+        # batched-prompt decode over ONE cached image: features broadcast
+        # to the prompt batch on device (the reference decoder's
+        # repeat_interleave, sam/mask_decoder.py) — the AMG path decodes
+        # 64 points per dispatch instead of one
+        self._predict_batch = jax.jit(
+            lambda p, f, pc, pl, mm: model.apply(
+                p,
+                {k: jnp.broadcast_to(v, (pc.shape[0],) + v.shape[1:])
+                 for k, v in f.items()},
+                point_coords=pc, point_labels=pl,
+                multimask_output=mm, apply_obj_gating=False,
+                method=model.predict),
+            static_argnums=(4,))
 
     def set_image(self, image_rgb: np.ndarray):
         """uint8/float RGB HWC -> cached features (square 1024 resize)."""
@@ -233,3 +246,31 @@ class Sam2ImagePredictor:
         if not return_logits:
             masks = masks > self.mask_threshold
         return masks, np.asarray(ious)[0], np.asarray(low)[0]
+
+    def predict_batch(self, point_coords, point_labels=None,
+                      multimask_output: bool = True,
+                      return_logits: bool = False):
+        """Batched single-point prompts over the cached image (the AMG
+        unit; reference automatic_mask_generator.py _process_batch runs
+        the decoder over the whole point batch at once).
+
+        point_coords [P, 2] in original-image pixels ->
+        (masks [P, M, H, W], ious [P, M], low_res [P, M, h, w])."""
+        assert self._features is not None, "call set_image first"
+        h, w = self._orig_hw
+        s = self.model.image_size
+        scale = np.array([s / w, s / h], np.float32)
+        pc = (np.asarray(point_coords, np.float32) * scale)[:, None, :]
+        if point_labels is None:
+            pl = np.ones((pc.shape[0], 1), np.float32)
+        else:
+            pl = np.asarray(point_labels, np.float32).reshape(
+                pc.shape[0], 1)
+        low, high, ious, _, _ = self._predict_batch(
+            self.params, self._features, pc, pl, multimask_output)
+        masks = resize2d(np.asarray(high).transpose(0, 2, 3, 1), (h, w),
+                         "bilinear", align_corners=False)
+        masks = np.asarray(masks).transpose(0, 3, 1, 2)
+        if not return_logits:
+            masks = masks > self.mask_threshold
+        return masks, np.asarray(ious), np.asarray(low)

@@ -51,7 +51,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if use_flash:
         if bias is not None:
             # column-bias flavor (memory-bank slot masks): bias
-            # broadcastable to [1, 1, 1, Tk]
+            # broadcastable to [1, 1, 1, Tk].  A general [B,H,Tq,Tk]
+            # bias passed with use_flash=True falls back to XLA rather
+            # than dying in the kernel's reshape.
+            if bias.size != k.shape[1]:
+                return _xla_attention(q, k, v, scale, bias)
             from vdn.ops.pallas.flash_attention import \
                 flash_attention_colbias
             return flash_attention_colbias(q, k, v,
@@ -73,7 +77,7 @@ def flash_enabled(tq: int, tk: int, bias=None) -> bool:
     general [.., Tq, Tk] biases stay XLA."""
     col_bias_ok = bias is None or (
         bias.ndim == 4 and bias.shape[0] == 1 and bias.shape[1] == 1
-        and bias.shape[2] == 1)
+        and bias.shape[2] == 1 and bias.shape[3] == tk)
     return (col_bias_ok and tq >= _FLASH_MIN_SEQ and tk >= _FLASH_MIN_SEQ
             and _on_tpu())
 

@@ -187,5 +187,15 @@ def chunk_window_enabled(n: int, c: int, cap: int, kf: int) -> bool:
     if _os.environ.get("VDN_CHUNK_WINDOW_KERNEL", "0") == "0":
         return False
     from vdn.ops.attention import _on_tpu
-    return (n >= 1024 and c % 128 == 0 and cap % 8 == 0 and kf % 8 == 0
-            and _on_tpu())
+    ok = (n >= 1024 and c % 128 == 0 and cap % 8 == 0 and kf % 8 == 0
+          and _on_tpu())
+    if not ok:
+        # NOTE the shipped stream pipeline uses CAPACITY=43 (cap % 8 != 0),
+        # so the flag silently no-oping there was a real trap — say so.
+        import warnings
+        warnings.warn(
+            "VDN_CHUNK_WINDOW_KERNEL=1 set but the shape gate rejects "
+            f"(n={n}, c={c}, cap={cap}, kf={kf}; needs n>=1024, c%128==0, "
+            "cap%8==0, kf%8==0, TPU) — falling back to the XLA "
+            "chunk-window path", stacklevel=2)
+    return ok

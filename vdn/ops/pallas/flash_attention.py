@@ -160,11 +160,28 @@ def flash_attention_colbias(q: jnp.ndarray, k: jnp.ndarray,
                             block_q: int = DEFAULT_BLOCK_Q) -> jnp.ndarray:
     """Flash attention over [B, Tq|Tk, H, D] with an additive per-column
     logits bias [Tk] (shared across batch/heads/queries — the
-    memory-bank slot mask).  Serving-only: no VJP (the image/SAM2
-    memory paths are inference surfaces; grad raises at the
-    pallas_call like the other serving kernels)."""
+    memory-bank slot mask).  Primarily a serving kernel (the image/SAM2
+    memory paths are inference surfaces), but it carries a
+    recompute-via-XLA ``custom_vjp`` so a future attempt to
+    differentiate through the memory path falls back to the exact XLA
+    backward instead of dying inside pallas_call."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    return _colbias_diff(q, k, v, col_bias.reshape(-1), float(scale),
+                         block_q)
+
+
+def _colbias_xla(q, k, v, col_bias, scale):
+    """XLA reference for the colbias flavor ([B, T, H, D] layout)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + col_bias.astype(jnp.float32)[None, None, None, :]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _colbias_diff(q, k, v, col_bias, scale, block_q):
     b, tq, h, d = q.shape
     tk = k.shape[1]
 
@@ -176,6 +193,21 @@ def flash_attention_colbias(q: jnp.ndarray, k: jnp.ndarray,
                               col_bias.reshape(1, tk).astype(jnp.float32),
                               float(scale), block_q)
     return out.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+
+
+def _colbias_fwd(q, k, v, col_bias, scale, block_q):
+    return _colbias_diff(q, k, v, col_bias, scale, block_q), \
+        (q, k, v, col_bias)
+
+
+def _colbias_bwd(scale, block_q, res, g):
+    q, k, v, col_bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_, b_: _colbias_xla(
+        q_, k_, v_, b_, scale), q, k, v, col_bias)
+    return vjp(g)
+
+
+_colbias_diff.defvjp(_colbias_fwd, _colbias_bwd)
 
 
 def _pick_block(tq: int, target: int) -> int:

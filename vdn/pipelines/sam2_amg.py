@@ -53,10 +53,13 @@ class Sam2AutomaticMaskGenerator:
         all_ious: List[float] = []
         all_points: List[np.ndarray] = []
         for (batch,) in batch_iterator(self.points_per_batch, points):
-            for pt in batch:
-                logits, ious, _ = self.predictor.predict(
-                    point_coords=[pt.tolist()], point_labels=[1],
-                    multimask_output=True, return_logits=True)
+            # one batched decode per point batch (reference
+            # automatic_mask_generator.py _process_batch) — P points
+            # share a single broadcast-features dispatch
+            logits_b, ious_b, _ = self.predictor.predict_batch(
+                point_coords=batch, multimask_output=True,
+                return_logits=True)
+            for pt, logits, ious in zip(batch, logits_b, ious_b):
                 for m, iou in zip(logits, ious):
                     all_logits.append(m)
                     all_ious.append(float(iou))
