@@ -104,6 +104,18 @@ def main():
         print("trace written to profiles/image")
         return
 
+    # cost analysis of one stateful step (forward-with-memory +
+    # encode_memory + ring update) for the MFU denominator
+    def one_step(params, x, state):
+        depth, mem_feat = model.apply(params, x, state)
+        entry = model.apply(params, mem_feat, depth,
+                            method=model.encode_memory)
+        return depth, update_memory_state(state, *entry)
+
+    single = jax.jit(one_step)
+    cost = single.lower(params, x, state).compile().cost_analysis()
+    flops = cost.get("flops", float("nan")) if cost else float("nan")
+
     def timed(k):
         best = float("inf")
         for _ in range(REPS):
@@ -114,8 +126,11 @@ def main():
 
     t_s, t_l = timed(K_SMALL), timed(K_LARGE)
     per_frame = (t_l - t_s) / (K_LARGE - K_SMALL)
+    v5e_peak = 197e12
     print(f"image[{args.encoder}@{args.size}] memory-bank stateful step: "
-          f"{1e3 * per_frame:.2f} ms/frame -> {1.0 / per_frame:.1f} fps")
+          f"{1e3 * per_frame:.2f} ms/frame -> {1.0 / per_frame:.1f} fps | "
+          f"{flops / 1e9:.1f} GFLOP -> {flops / per_frame / 1e12:.1f} TF/s "
+          f"({100 * flops / per_frame / v5e_peak:.1f}% of v5e bf16 peak)")
 
 
 if __name__ == "__main__":

@@ -265,8 +265,8 @@ def main():
 
     from vdn.models.sam2_video import Sam2VideoModel
 
-    pd = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model = Sam2VideoModel(trunk_variant=args.trunk, param_dtype=pd)
+    cd = jnp.bfloat16 if args.dtype == "bf16" else None
+    model = Sam2VideoModel(trunk_variant=args.trunk, compute_dtype=cd)
     s = model.image_size
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3), jnp.float32))

@@ -68,6 +68,12 @@ class Sam2ImageModel(nn.Module):
     iou_prediction_use_sigmoid: bool = True
     use_mlp_for_obj_ptr_proj: bool = False  # sam2.1 video config: True
     param_dtype: Dtype = jnp.float32
+    # serving compute dtype (the reference benchmark runs bf16 autocast,
+    # sam2/benchmark.py:20-24).  None keeps fp32 promotion semantics (the
+    # parity default).  fp32 constants (sine PEs, prompt embeddings)
+    # otherwise re-promote every downstream matmul: x fp32 @ w bf16 -> fp32
+    # under jnp promotion, so a single leak keeps the whole graph fp32.
+    compute_dtype: Optional[Dtype] = None
 
     def setup(self):
         pd = self.param_dtype
@@ -105,9 +111,13 @@ class Sam2ImageModel(nn.Module):
         features = self.encode_image(x)
         return self.predict(features)
 
+    def _cast(self, x):
+        return x if self.compute_dtype is None else x.astype(
+            self.compute_dtype)
+
     def encode_image(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """x [B, S, S, 3] (S = image_size, normalized) -> feature dict."""
-        feats, _ = self.image_encoder(x)
+        feats, _ = self.image_encoder(self._cast(x))
         s0, s1, s16 = feats
         # pre-project high-res skips (reference sam2_base.py:467-479)
         s0p, s1p = self.sam_mask_decoder.project_high_res_features(s0, s1)
@@ -144,9 +154,10 @@ class Sam2ImageModel(nn.Module):
             masks=mask_input)
         image_pe = self.sam_prompt_encoder.get_dense_pe()
         low_res, ious, sam_tokens, obj_logits = self.sam_mask_decoder(
-            backbone, image_pe, sparse, dense, multimask_output,
-            high_res_features=(features["high_res_0"],
-                               features["high_res_1"]))
+            self._cast(backbone), self._cast(image_pe),
+            self._cast(sparse), self._cast(dense), multimask_output,
+            high_res_features=(self._cast(features["high_res_0"]),
+                               self._cast(features["high_res_1"])))
         is_obj = obj_logits > 0
         if self.pred_obj_scores and apply_obj_gating:
             low_res = jnp.where(is_obj[:, None, None], low_res,

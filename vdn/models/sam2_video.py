@@ -203,7 +203,8 @@ class Sam2VideoModel(Sam2ImageModel):
         pos = jnp.broadcast_to(pos[None].reshape(1, h * w, c),
                                tokens.shape).astype(tokens.dtype)
         out = self.memory_attention(
-            tokens, memory, pos, (h, w), memory_pos=memory_pos,
+            tokens, self._cast(memory), pos, (h, w),
+            memory_pos=self._cast(memory_pos),
             num_k_exclude_rope=num_obj_ptr_tokens)
         feats = dict(features)
         feats["image_embed"] = out.reshape(b, h, w, c)
@@ -212,7 +213,7 @@ class Sam2VideoModel(Sam2ImageModel):
     def encode_image_raw(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Like encode_image but WITHOUT the no-mem embedding (tracking
         frames get memory instead)."""
-        feats, _ = self.image_encoder(x)
+        feats, _ = self.image_encoder(self._cast(x))
         s0, s1, s16 = feats
         s0p, s1p = self.sam_mask_decoder.project_high_res_features(s0, s1)
         return {"image_embed": s16, "high_res_0": s0p, "high_res_1": s1p}
@@ -238,11 +239,12 @@ class Sam2VideoModel(Sam2ImageModel):
         mask = jax.nn.sigmoid(high_res_masks)
         mask = mask * self.sigmoid_scale_for_mem_enc \
             + self.sigmoid_bias_for_mem_enc
-        feat, pos = self.memory_encoder(pix_feat, mask,
+        feat, pos = self.memory_encoder(pix_feat, self._cast(mask),
                                         skip_mask_sigmoid=True)
         is_obj = (object_score_logits > 0).astype(feat.dtype)
         feat = feat + (1.0 - is_obj[..., None, None]) \
-            * self.no_obj_embed_spatial.reshape(1, 1, 1, -1)
+            * self.no_obj_embed_spatial.reshape(1, 1, 1, -1).astype(
+                feat.dtype)
         return feat, pos
 
     # ---- temporal encodings (host assembles, model supplies tables) ---

@@ -223,7 +223,16 @@ def _flash_bhtd(q, k, v, scale: float, block_q: int):
     """q [BH, Tq, D], k/v [BH, Tk, D] -> [BH, Tq, D]."""
     bh, tq, d = q.shape
     tk = k.shape[1]
-    bq = _pick_block(tq, block_q)
+    # VMEM-aware q-block cap: the kernel holds k/v blocks plus ~2 fp32
+    # [bq, tk] passes (shifted logits + exp) — long-K / wide-d / fp32
+    # shapes (SAM2 memory self-attn: tk=4096, d=256) blew the default
+    # scoped-vmem budget at the flat 704 default (compile-time OOM,
+    # 2026-08-20)
+    item = q.dtype.itemsize
+    fixed = 2 * tk * d * item                    # k + v resident
+    per_row = 8 * tk + 8 * d                     # s/p fp32 + q/o rows
+    max_bq = max(128, (40 * 1024 * 1024 - fixed) // per_row // 128 * 128)
+    bq = _pick_block(tq, min(block_q, max_bq))
 
     grid = (bh, pl.cdiv(tq, bq))
     flops = 4 * bh * tq * tk * d
@@ -238,7 +247,8 @@ def _flash_bhtd(q, k, v, scale: float, block_q: int):
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
