@@ -14,8 +14,20 @@ Differences from the reference by design:
 
 Cache contract (matches reference list order dpt_temporal.py:74-96):
 each TemporalModule produces ``num_transformer_block * num_attention_blocks``
-cache entries of shape [B*H*W, T, C] — the attention-block *inputs* — and
-consumes the same number from the previous window.
+cache entries and consumes the same number from the previous window.
+
+Entry format (round 5): POSITION-FREE PACKED K/V, shape
+[heads * B*H*W, T, 2 * dh] with lanes [K(dh) ‖ V(dh)], head-major rows.
+The reference (and rounds 1-4) cached the attention-block *inputs* and
+re-projected the whole ring through to_k/to_v every step — but ring
+entries are immutable and the projections are linear, so K/V are
+cacheable, and the window APE separates by linearity exactly like the
+chunk-window algebra: K(entry at window pos p) = K_cached + to_k(pe[p]).
+Deleting the per-step ring re-projections removes 2*N*CAP*C^2 MXU FLOPs
+per attention block per chunk AND the [h, n, cap, dh] head-split
+relayout copies the projections forced (4 x 1.15 ms per chunk at the
+finest vitl module, trace 2026-08-20).  Head-major rows keep the
+attention dots' batch axes on sublanes (no relayout at read time).
 """
 
 from __future__ import annotations
@@ -88,10 +100,12 @@ class TemporalAttention(nn.Module):
     once at module entry so no attention block pays a [(B*T), N, C]
     transpose; the round-3 trace showed those per-block relayouts fusing
     into the projection dots at up to 26x over peak); attends over T per
-    token.  With a cache [B*N, T_cache, C], only the T_new current
+    token.  With a cache [heads*B*N, T_cache, 2*dh] (position-free
+    packed K/V — see the module docstring), only the T_new current
     frames are queried while keys/values span cache + new (reference
     attention.py:245-326).
-    Returns (output [(B*N), T_new, C], cache_entry [B*N, T_new, C]).
+    Returns (output [(B*N), T_new, C], cache_entry
+    [heads*B*N, T_new, 2*dh]).
 
     Context-parallel streaming (cache + seq_axis): the cache argument is
     each device's LOCAL shard of the KV window (sharded along T_cache);
@@ -123,12 +137,11 @@ class TemporalAttention(nn.Module):
 
         x = hidden_states                    # [(b n), t_new, c]
         bn, t_new, c = x.shape
-        cache_entry = x
 
         if cache is not None and self.seq_axis is not None:
-            return self._cached_cp(x, cache, cache_len, c), cache_entry
+            return self._cached_cp(x, cache, cache_len, c)
         if cache is not None and self.pos_embedding_type == "ape":
-            return self._cached_local(x, cache, c), cache_entry
+            return self._cached_local(x, cache, c)
 
         from vdn.ops.pallas.temporal_attention import (
             fused_temporal_enabled, temporal_attention_block)
@@ -153,7 +166,17 @@ class TemporalAttention(nn.Module):
             out = temporal_attention_block(
                 x, pe, wq, wk, wv, wo, bo, self.heads,
                 float((c // self.heads) ** -0.5))
-            return out, cache_entry
+            # position-free packed K/V ring entry; XLA DCEs these two
+            # projections whenever the caller drops the caches (the
+            # clip pipeline) — only the stream's first frame pays them
+            h, dh = self.heads, c // self.heads
+            hv = lambda w_: w_.astype(x.dtype).reshape(
+                c, h, dh).transpose(1, 0, 2)
+            k_e = jnp.einsum("ntc,hcd->hntd", x, hv(wk))
+            v_e = jnp.einsum("ntc,hcd->hntd", x, hv(wv))
+            entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
+                h * bn, t_new, 2 * dh)
+            return out, entry
 
         d_in = 0
         if cache is not None:
@@ -179,12 +202,14 @@ class TemporalAttention(nn.Module):
             raise NotImplementedError(self.pos_embedding_type)
 
         q_in = x[:, d_in:]
+        to_k_m = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                        name="to_k")
+        to_v_m = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                        name="to_v")
         query = Linear(c, use_bias=False, param_dtype=self.param_dtype,
                        name="to_q")(q_in)
-        key = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                     name="to_k")(x)
-        value = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                       name="to_v")(x)
+        key = to_k_m(x)
+        value = to_v_m(x)
 
         if self.pos_embedding_type == "rope":
             # reference applies rope on the full inner dim before head split
@@ -221,55 +246,85 @@ class TemporalAttention(nn.Module):
         out = out.reshape(bn, t_new, c)
         out = Linear(self.query_dim, param_dtype=self.param_dtype,
                      name="to_out_0")(out)
-        return out, cache_entry
+        # position-free packed K/V ring entry from the RAW (pre-PE)
+        # inputs — DCE'd whenever the caller drops the caches.  (The
+        # rope path never serves a cache mode; entries are still emitted
+        # for shape consistency but position-free K is not rotatable, so
+        # rope callers must not consume them — guarded by the cache-mode
+        # assert above.)
+        k_e = to_k_m(hidden_states).reshape(
+            bn, t_new, h, dh).transpose(2, 0, 1, 3)
+        v_e = to_v_m(hidden_states).reshape(
+            bn, t_new, h, dh).transpose(2, 0, 1, 3)
+        entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
+            h * bn, t_new, 2 * dh)
+        return out, entry
+
+    def _weights_hview(self, x, c):
+        """(wq_h, wk_h, wv_h, wo, bo): q/k/v weights viewed [h, C, dh]
+        (projections emit head-major straight from the MXU) + raw
+        out-proj params."""
+        dt = x.dtype
+        h = self.heads
+        wq, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_q")(x, params_only=True)
+        wk, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_k")(x, params_only=True)
+        wv, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
+                       name="to_v")(x, params_only=True)
+        wo, bo = Linear(self.query_dim, param_dtype=self.param_dtype,
+                        name="to_out_0")(x, params_only=True)
+        hview = lambda wgt: wgt.astype(dt).reshape(
+            c, h, c // h).transpose(1, 0, 2)
+        return hview(wq), hview(wk), hview(wv), wo, bo
 
     def _cached_local(self, x_new, cache, c):
-        """Cached decode WITHOUT materializing concat([cache, new]).
+        """Cached decode over a position-free packed K/V window.
 
-        The [B*N, 31+1, C] concats of the straight-line path were the
-        single largest data-movement cost of the streaming scan
-        (4 x ~0.55 ms/frame copies at vitl-518, trace 2026-08-17).
-        K/V and logits are computed blockwise over (cache, new) and the
-        fp32 softmax runs over the concatenated [.., d_in+t_new] logits
-        (a tiny tensor) — numerically identical to the concat path."""
+        cache [h*B*N, d_in, 2*dh]: the gathered ring window — K/V were
+        projected ONCE when each entry was written; the window APE
+        attaches by linearity (K at window pos p = K_cached + to_k(pe[p]),
+        same algebra as _chunk_window).  No concat([cache, new]) is ever
+        materialized (the [B*N, 31+1, C] concats were the single largest
+        data-movement cost of the streaming scan, trace 2026-08-17) and
+        no ring re-projection runs (2*N*31*C^2 FLOPs per block deleted,
+        round 5)."""
         bn, t_new = x_new.shape[0], x_new.shape[1]
+        h, dh = self.heads, c // self.heads
         d_in = cache.shape[1]
         t_total = d_in + t_new
+        dt = x_new.dtype
         pe = jnp.asarray(sinusoidal_positional_encoding(
-            self.query_dim, self.temporal_max_len))
-        cache_x = cache.astype(x_new.dtype) \
-            + pe[:d_in][None].astype(x_new.dtype)
-        new_x = x_new + pe[d_in:t_total][None].astype(x_new.dtype)
+            self.query_dim, self.temporal_max_len)).astype(dt)
 
-        to_q = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                      name="to_q")
-        to_k = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                      name="to_k")
-        to_v = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                      name="to_v")
-        h, dh = self.heads, c // self.heads
+        wq_h, wk_h, wv_h, wo, bo = self._weights_hview(x_new, c)
+        proj = functools.partial(jnp.einsum, "ntc,hcd->hntd")
+        pe_k = jnp.einsum("pc,hcd->hpd", pe[:t_total], wk_h)  # [h,T,dh]
+        pe_v = jnp.einsum("pc,hcd->hpd", pe[:t_total], wv_h)
 
-        def heads_of(y, t):
-            return y.reshape(bn, t, h, dh)
-
-        q = heads_of(to_q(new_x), t_new)
-        k_c = heads_of(to_k(cache_x), d_in)
-        k_n = heads_of(to_k(new_x), t_new)
-        v_c = heads_of(to_v(cache_x), d_in)
-        v_n = heads_of(to_v(new_x), t_new)
+        q = proj(x_new + pe[d_in:t_total][None], wq_h)   # [h,bn,t_new,dh]
+        k_e = proj(x_new, wk_h)                          # position-free
+        v_e = proj(x_new, wv_h)
+        k_n = k_e + pe_k[:, None, d_in:]
+        v_n = v_e + pe_v[:, None, d_in:]
+        kv = cache.reshape(h, bn, d_in, 2 * dh).astype(dt)
+        k_c = kv[..., :dh] + pe_k[:, None, :d_in]
+        v_c = kv[..., dh:] + pe_v[:, None, :d_in]
 
         scale = dh ** -0.5
-        logit = functools.partial(jnp.einsum, "bqhd,bkhd->bhqk",
+        logit = functools.partial(jnp.einsum, "hntd,hnkd->hntk",
                                   preferred_element_type=jnp.float32)
         logits = jnp.concatenate(
             [logit(q, k_c), logit(q, k_n)], axis=-1) * scale
-        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs[..., :d_in], v_c) \
-            + jnp.einsum("bhqk,bkhd->bqhd", probs[..., d_in:], v_n)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        out = jnp.einsum("hntk,hnkd->hntd", probs[..., :d_in], v_c) \
+            + jnp.einsum("hntk,hnkd->hntd", probs[..., d_in:], v_n)
 
-        out = out.reshape(bn, t_new, c)
-        return Linear(self.query_dim, param_dtype=self.param_dtype,
-                      name="to_out_0")(out)
+        wo_h = wo.astype(dt).reshape(h, dh, self.query_dim)
+        out = jnp.einsum("hntd,hdc->ntc", out, wo_h) + bo.astype(dt)
+        entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
+            h * bn, t_new, 2 * dh)
+        return out, entry
 
     def _chunk_window(self, x, buf, onehot):
         """Batched streaming decode: k frames in ONE window attention.
@@ -281,7 +336,8 @@ class TemporalAttention(nn.Module):
         in-chunk entries) via a host-built one-hot column map.
 
         x: [N, k, C] — this block's (LayerNorm'd) inputs for all k frames;
-        buf: [N, CAP, C] ring buffer of previous entries;
+        buf: [h*N, CAP, 2*dh] ring buffer of position-free packed K/V
+        entries (see the module docstring);
         onehot: [k, W, CAP+k] fp — onehot[j, p] selects the column (ring
         slot or CAP+i for in-chunk frame i) at window position p of frame
         j's window; position W-1 is the frame's own entry.
@@ -296,7 +352,7 @@ class TemporalAttention(nn.Module):
         through the full-window path instead).
 
         Context parallel (``seq_axis`` set): ``buf`` is this device's
-        shard of the ring's CAP axis ([N, CAP/p, C]; onehot's ring
+        shard of the ring's CAP axis ([h*N, CAP/p, 2*dh]; onehot's ring
         columns span the GLOBAL capacity) and x/onehot are replicated.
         The one-hot gather distributes over the column shards — every
         (frame, window-position) pair has exactly one owning column, so
@@ -306,13 +362,13 @@ class TemporalAttention(nn.Module):
         way.  In-chunk columns (and the APE corrections) are owned by
         the LAST device of the axis, mirroring ``_cached_cp``.
 
-        Returns (out [N, k, C], cache_entry [N, k, C] — ring layout).
+        Returns (out [N, k, C], cache_entry [h*N, k, 2*dh] — ring
+        layout).
         """
         n, kf, c = x.shape
         cap = buf.shape[1]   # LOCAL ring columns (== global when no CP)
         w = self.temporal_max_len
         h, dh = self.heads, c // self.heads
-        e_cols = x  # [N, k, C]; also the new ring entries
 
         pe = jnp.asarray(sinusoidal_positional_encoding(
             self.query_dim, w)).astype(x.dtype)
@@ -322,42 +378,25 @@ class TemporalAttention(nn.Module):
         # — the earlier [n, *, C] -> [n, *, h, dh] einsum head splits
         # forced 1.15 ms layout copies per K/V tensor at the finest
         # module (N=5476 stream trace 2026-08-20); this form has no
-        # relayout at all.
+        # relayout at all.  The ring holds position-free packed K/V
+        # [h*n, cap, 2*dh] (round 5), so the per-chunk ring
+        # re-projections (2 MXU dots + their layout copies per block)
+        # are gone entirely — only the k new frames project.
         dt = x.dtype
-        wq, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                       name="to_q")(x, params_only=True)
-        wk, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                       name="to_k")(x, params_only=True)
-        wv, _ = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                       name="to_v")(x, params_only=True)
-        wo, bo = Linear(self.query_dim, param_dtype=self.param_dtype,
-                        name="to_out_0")(x, params_only=True)
-        from vdn.ops.pallas.chunk_window import (chunk_window_attention,
-                                                 chunk_window_enabled)
-        if self.seq_axis is None and chunk_window_enabled(n, c, cap, kf):
-            # TPU streaming hot path: the whole per-frame-window block
-            # (projections + one-hot gather + softmax + AV + out-proj)
-            # in one Pallas kernel — logits and head splits never touch
-            # HBM (see vdn/ops/pallas/chunk_window.py)
-            out = chunk_window_attention(
-                x, buf, onehot, pe, wq, wk, wv, wo, bo, h,
-                float(dh ** -0.5))
-            return out, e_cols
-
-        hview = lambda wgt: wgt.astype(dt).reshape(
-            c, h, dh).transpose(1, 0, 2)                 # [h, C, dh]
-        wq_h, wk_h, wv_h = hview(wq), hview(wk), hview(wv)
+        wq_h, wk_h, wv_h, wo, bo = self._weights_hview(x, c)
         proj = functools.partial(jnp.einsum, "njc,hcd->hnjd")
 
-        ring = buf.astype(dt)
         qh = proj(x + pe[w - 1], wq_h)                   # [h, n, kf, dh]
         # ring and in-chunk columns stay SEPARATE operands: a
         # [h, n, cap+k, dh] concat forces a full relayout copy of both
         # K and V (1.16 ms each at N=5476); concatenating in the tiny
         # fp32 logits space (and slicing probs) is absorbed into the
         # dots instead
-        k_r, k_n = proj(ring, wk_h), proj(e_cols, wk_h)
-        v_r, v_n = proj(ring, wv_h), proj(e_cols, wv_h)
+        k_n, v_n = proj(x, wk_h), proj(x, wv_h)          # position-free
+        kv = buf.reshape(h, n, cap, 2 * dh).astype(dt)
+        k_r, v_r = kv[..., :dh], kv[..., dh:]
+        entry = jnp.concatenate([k_n, v_n], axis=-1).reshape(
+            h * n, kf, 2 * dh)
         pe_k = jnp.einsum("pc,hcd->hpd", pe, wk_h)       # [h, w, dh]
         pe_v = jnp.einsum("pc,hcd->hpd", pe, wv_h)
 
@@ -402,41 +441,49 @@ class TemporalAttention(nn.Module):
         # fused out-projection: contract (h, dh) -> C, no head-merge copy
         wo_h = wo.astype(dt).reshape(h, dh, self.query_dim)
         out = jnp.einsum("hnjd,hdc->njc", out, wo_h) + bo.astype(dt)
-        return out, e_cols
+        return out, entry
 
     def _cached_cp(self, x_new, cache, cache_len, c):
         """Streaming decode with the KV window sharded over seq_axis.
 
-        x_new [B*N, t_new, C] replicated; cache [B*N, d_local, C] local
-        shard.  Columns beyond ``cache_len`` (zero padding so the window
-        divides the axis) and the new-frame KV on every device but the
-        last are masked out of the softmax, so the math equals the
-        single-device concat path exactly."""
+        x_new [B*N, t_new, C] replicated; cache [h*B*N, d_local, 2*dh]
+        local shard of the position-free packed K/V window (the APE
+        attaches by linearity per GLOBAL position, so shard-local
+        entries stay position-free at rest).  Columns beyond
+        ``cache_len`` (zero padding so the window divides the axis) and
+        the new-frame KV on every device but the last are masked out of
+        the softmax, so the math equals the single-device path
+        exactly."""
         assert self.pos_embedding_type == "ape", \
             "CP streaming decode supports APE (rope has no cache mode)"
         axis = self.seq_axis
         p = jax.lax.axis_size(axis)
         bn, t_new = x_new.shape[0], x_new.shape[1]
+        h, dh = self.heads, c // self.heads
         d_local = cache.shape[1]
         cl = cache_len if cache_len is not None else p * d_local
         my = jax.lax.axis_index(axis)
         idx = my * d_local + jnp.arange(d_local)
+        dt = x_new.dtype
 
         pe = jnp.asarray(sinusoidal_positional_encoding(
-            self.query_dim, self.temporal_max_len))
-        cache_pe = pe[jnp.minimum(idx, self.temporal_max_len - 1)]
+            self.query_dim, self.temporal_max_len)).astype(dt)
         new_pe = pe[cl:cl + t_new]
-        xq = x_new + new_pe[None].astype(x_new.dtype)
-        kv_in = jnp.concatenate(
-            [cache.astype(x_new.dtype) + cache_pe[None].astype(x_new.dtype),
-             xq], axis=1)  # [B*N, d_local + t_new, C]
 
-        query = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                       name="to_q")(xq)
-        key = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                     name="to_k")(kv_in)
-        value = Linear(c, use_bias=False, param_dtype=self.param_dtype,
-                       name="to_v")(kv_in)
+        wq_h, wk_h, wv_h, wo, bo = self._weights_hview(x_new, c)
+        proj = functools.partial(jnp.einsum, "ntc,hcd->hntd")
+        pe_k = jnp.einsum("pc,hcd->hpd", pe, wk_h)       # [h, W, dh]
+        pe_v = jnp.einsum("pc,hcd->hpd", pe, wv_h)
+        idx_cl = jnp.minimum(idx, self.temporal_max_len - 1)
+
+        q = proj(x_new + new_pe[None], wq_h)             # [h,bn,t_new,dh]
+        k_e = proj(x_new, wk_h)                          # position-free
+        v_e = proj(x_new, wv_h)
+        kv = cache.reshape(h, bn, d_local, 2 * dh).astype(dt)
+        k_c = kv[..., :dh] + pe_k[:, None, idx_cl]
+        v_c = kv[..., dh:] + pe_v[:, None, idx_cl]
+        k_n = k_e + pe_k[:, None, cl:cl + t_new]
+        v_n = v_e + pe_v[:, None, cl:cl + t_new]
 
         neg = jnp.float32(-1e30)
         bias = jnp.concatenate([
@@ -445,14 +492,16 @@ class TemporalAttention(nn.Module):
             * jnp.ones((t_new,), jnp.float32)])
 
         from vdn.parallel.context import distributed_kv_attention
-        h, dh = self.heads, c // self.heads
+        to_bthd = lambda a: a.transpose(1, 2, 0, 3)      # [bn, T, h, dh]
         out = distributed_kv_attention(
-            query.reshape(bn, t_new, h, dh),
-            key.reshape(bn, d_local + t_new, h, dh),
-            value.reshape(bn, d_local + t_new, h, dh), axis, bias)
+            to_bthd(q),
+            to_bthd(jnp.concatenate([k_c, k_n], axis=2)),
+            to_bthd(jnp.concatenate([v_c, v_n], axis=2)), axis, bias)
         out = out.reshape(bn, t_new, c)
-        return Linear(self.query_dim, param_dtype=self.param_dtype,
-                      name="to_out_0")(out)
+        out = jnp.matmul(out, wo.astype(dt)) + bo.astype(dt)
+        entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
+            h * bn, t_new, 2 * dh)
+        return out, entry
 
 
 class TemporalTransformerBlock(nn.Module):

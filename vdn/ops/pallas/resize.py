@@ -69,12 +69,18 @@ def _pick_blocks(n: int, r_in: int, m: int, th: int, itemsize: int):
         return 2 * (bn * r_in * mc + bn * th * mc
                     + th * r_in) * itemsize <= _VMEM_BUDGET
 
-    lanes = m // 128
-    mc = 128
-    for d in range(lanes, 0, -1):  # largest divisor chunk <= 4096 that fits
-        if lanes % d == 0 and 128 * d <= 4096 and fits(1, 128 * d):
-            mc = 128 * d
-            break
+    if m < 128:
+        # sub-lane-width M (the K/V ring gather at dh=32 packs 2*dh=64
+        # lanes): one under-utilized chunk — still worlds better than
+        # XLA's serialized-loop lowering of the one-hot einsum
+        mc = m
+    else:
+        lanes = m // 128
+        mc = 128
+        for d in range(lanes, 0, -1):  # largest divisor <= 4096 that fits
+            if lanes % d == 0 and 128 * d <= 4096 and fits(1, 128 * d):
+                mc = 128 * d
+                break
     bn = 1
     while bn * 2 <= 8 and bn * 2 <= n and fits(bn * 2, mc):
         bn *= 2

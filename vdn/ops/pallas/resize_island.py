@@ -273,6 +273,12 @@ def _fri_bwd(out_hw, sigmoid, max_depth, res, g):
     return vjp(g)
 
 
+# A vjp-residual variant (composite forward under differentiation, so
+# the island forward runs once instead of Pallas-fwd + full XLA
+# recompute, ~8 ms/step) was tried 2026-08-20 and REVERTED: keeping the
+# [N, 518, 518, C] resized feature + fp32 conv1 output live as saved
+# activations (+~1.6 GB) stalls/OOMs the vitl b2t8 train step — the
+# recompute backward is the memory-correct trade under remat pressure.
 fused_resize_island.defvjp(_fri_fwd, _fri_bwd)
 
 

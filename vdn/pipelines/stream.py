@@ -30,9 +30,11 @@ INFER_LEN = 32
 OVERLAP = 10
 INTERP_LEN = 8
 GAP = (INFER_LEN - OVERLAP) * 2 - 1 - (OVERLAP - INTERP_LEN)  # == 41
-# max logical entries ever alive (43).  (A sublane-padded CAPACITY=48
-# variant for the fused chunk-window kernel was A/B'd and reverted with
-# the kernel — see vdn/ops/pallas/chunk_window.py chunk_window_enabled.)
+# max logical entries ever alive (43).  (A fused Pallas chunk-window
+# kernel — and its sublane-padded CAPACITY=48 variant — was A/B'd in
+# round 4 and LOST to the XLA algebra (MXU-latency-bound tiny dots);
+# the round-5 K/V-ring redesign then removed its input contract, so the
+# kernel was retired — analysis in ROADMAP.md.)
 CAPACITY = GAP + 2
 
 
