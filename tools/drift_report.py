@@ -50,22 +50,73 @@ def surrogate_scale_params(params, seed=7, sigma=0.75):
     """Trained-scale surrogate: random-init weights are near-isotropic,
     which understates PTQ risk — trained transformers concentrate energy
     in a few channels (massive-activation / outlier-channel effect), and
-    per-tensor calibrated scales are exactly what outlier channels break.
-    Multiply every LayerNorm scale and every Linear/Conv kernel by
-    per-output-channel log-normal factors (clipped to [1/6, 6]) so the
-    activation distributions the calibration pass sees are heavy-tailed
-    per channel, like trained nets, while LN keeps the forward stable."""
+    per-tensor scales are exactly what outlier channels break.
+
+    EXACT reparameterization (round 5): per-channel log-normal factors
+    (clipped to [1/6, 6]) are pushed through producer->consumer pairs so
+    the fp32 FUNCTION is unchanged while the intermediate ACTIVATIONS
+    become heavy-tailed per channel — the distributions quantization
+    actually sees:
+    - encoder blocks: LN scale+bias x s, consuming qkv/fc1 kernel rows
+      / s (the W8A8-dynamic encoder matmul inputs get outlier channels)
+    - head output chain: output_conv1 out-channels x t, output_conv2_0
+      in-channels / t; output_conv2_0 out x u (ReLU commutes with
+      positive per-channel scales), output_conv2_2 in / u (the
+      calibrated-static int8 conv inputs get outlier channels)
+    The earlier one-sided weight scaling (x factors on every kernel with
+    no compensation) drove the random-init forward into a degenerate
+    mostly-zero output (p99 rel-err exactly 0.0 with huge means,
+    2026-08-20) — those numbers measured a dead network, not drift."""
     rng = np.random.default_rng(seed)
 
-    def scale(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name not in ("kernel", "scale") or leaf.ndim == 0:
-            return leaf
-        ch = leaf.shape[-1]
-        fac = np.clip(rng.lognormal(0.0, sigma, ch), 1 / 6.0, 6.0)
-        return leaf * jnp.asarray(fac, leaf.dtype)
+    def fac(n):
+        return np.clip(rng.lognormal(0.0, sigma, n),
+                       1 / 6.0, 6.0).astype(np.float32)
 
-    return jax.tree_util.tree_map_with_path(scale, params)
+    def mut(t):
+        return {k: mut(v) if isinstance(v, dict) else v
+                for k, v in t.items()}
+
+    p = mut(params)
+    root = p.get("params", p)
+
+    enc = root.get("pretrained")
+    if enc is not None:
+        for name, blk in enc.items():
+            if not name.startswith("blocks_"):
+                continue
+            for ln, consumer in (("norm1", ("attn", "qkv")),
+                                 ("norm2", ("mlp", "fc1"))):
+                if ln not in blk:
+                    continue
+                s = jnp.asarray(fac(blk[ln]["scale"].shape[-1]))
+                blk[ln]["scale"] = blk[ln]["scale"] * s
+                blk[ln]["bias"] = blk[ln]["bias"] * s
+                tgt = blk
+                for k in consumer:
+                    tgt = tgt.get(k, {})
+                if "kernel" in tgt:
+                    tgt["kernel"] = tgt["kernel"] / s[:, None]
+
+    def head_chains(t):
+        if isinstance(t, dict):
+            if "output_conv1" in t and "output_conv2_0" in t:
+                c1, c20 = t["output_conv1"], t["output_conv2_0"]
+                tt = jnp.asarray(fac(c1["kernel"].shape[-1]))
+                c1["kernel"] = c1["kernel"] * tt
+                c1["bias"] = c1["bias"] * tt
+                c20["kernel"] = c20["kernel"] / tt[None, None, :, None]
+                if "output_conv2_2" in t:
+                    c22 = t["output_conv2_2"]
+                    u = jnp.asarray(fac(c20["kernel"].shape[-1]))
+                    c20["kernel"] = c20["kernel"] * u
+                    c20["bias"] = c20["bias"] * u
+                    c22["kernel"] = c22["kernel"] / u[None, None, :, None]
+            for v in t.values():
+                head_chains(v)
+
+    head_chains(root)
+    return p
 
 
 def main():

@@ -669,11 +669,16 @@ def _flash_bwd_cols(qkv2, g2, out2, lse2, scale: float, block_q: int,
                     hb: int, h: int, d: int):
     """qkv2 [B, T, 3C], g2/out2 [B, T, C], lse2 [B, n_colblocks, hb, T]
     fp32 (forward row log-sum-exp, base 2) -> (dq2, dk2, dv2) [B, T, C]
-    (dk2/dv2 fp32 accumulators; caller casts and concatenates)."""
+    (dk2/dv2 fp32 accumulators; caller casts and concatenates).
+
+    VDN_FLASH_BWD_BLOCK_Q overrides the q-block for the BACKWARD only
+    (the fwd/bwd optima need not coincide: a full-T backward block
+    removes the sequential dk/dv accumulation revisits entirely)."""
     b, t, _ = qkv2.shape
     n = h // hb
     w = hb * d
-    bq = _pick_block(t, block_q)
+    bq = _pick_block(t, int(_os.environ.get("VDN_FLASH_BWD_BLOCK_Q", "0"))
+                     or block_q)
     grid = (b, n, pl.cdiv(t, bq))
     flops = 10 * b * h * t * t * d
     return pl.pallas_call(

@@ -461,7 +461,10 @@ def fused_mlp_enabled(rows: int) -> bool:
     if _os.environ.get("VDN_DISABLE_FUSED_MLP"):
         return False
     from vdn.ops.attention import _on_tpu
-    return rows >= 2048 and _on_tpu()
+    # VDN_MLP_MIN_ROWS: A/B knob for the small-batch cutoff (the
+    # single-image memory-bank step runs rows = 1369)
+    return rows >= int(_os.environ.get("VDN_MLP_MIN_ROWS", "2048")) \
+        and _on_tpu()
 
 
 def _reference_tail(x2d, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
