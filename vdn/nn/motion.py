@@ -308,16 +308,24 @@ class TemporalAttention(nn.Module):
         k_n = k_e + pe_k[:, None, d_in:]
         v_n = v_e + pe_v[:, None, d_in:]
         kv = cache.reshape(h, bn, d_in, 2 * dh).astype(dt)
-        k_c = kv[..., :dh] + pe_k[:, None, :d_in]
-        v_c = kv[..., dh:] + pe_v[:, None, :d_in]
 
         scale = dh ** -0.5
         logit = functools.partial(jnp.einsum, "hntd,hnkd->hntk",
                                   preferred_element_type=jnp.float32)
+        # packed-dot form: zero-padded q contracts the packed [.., 2dh]
+        # window directly (no K/V lane split — see _chunk_window); the
+        # cache-side APE attaches on the LOGITS (q . to_k(pe[p])) and on
+        # the OUTPUT (probs . to_v(pe[p])) by linearity
+        qz = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+        qpe_c = jnp.einsum("hntd,hpd->hntp", q, pe_k[:, :d_in],
+                           preferred_element_type=jnp.float32)
         logits = jnp.concatenate(
-            [logit(q, k_c), logit(q, k_n)], axis=-1) * scale
+            [logit(qz, kv) + qpe_c, logit(q, k_n)], axis=-1) * scale
         probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-        out = jnp.einsum("hntk,hnkd->hntd", probs[..., :d_in], v_c) \
+        out = jnp.einsum("hntk,hnkd->hntd", probs[..., :d_in],
+                         kv)[..., dh:] \
+            + jnp.einsum("hntk,hkd->hntd", probs[..., :d_in],
+                         pe_v[:, :d_in]) \
             + jnp.einsum("hntk,hnkd->hntd", probs[..., d_in:], v_n)
 
         wo_h = wo.astype(dt).reshape(h, dh, self.query_dim)
@@ -394,7 +402,12 @@ class TemporalAttention(nn.Module):
         # dots instead
         k_n, v_n = proj(x, wk_h), proj(x, wv_h)          # position-free
         kv = buf.reshape(h, n, cap, 2 * dh).astype(dt)
-        k_r, v_r = kv[..., :dh], kv[..., dh:]
+        # the packed [.., 2dh] ring feeds the attention dots DIRECTLY:
+        # lane-splitting K/V halves materialized 1-2 ms copies per block
+        # at dh=32 (trace 2026-08-21), while these tiny dots are
+        # MXU-padding-bound — contracting the packed width with
+        # zero-padded q (logits) and slicing the [.., 2dh] AV output
+        # (j-sized, ~5x smaller than the ring) costs nothing extra
         entry = jnp.concatenate([k_n, v_n], axis=-1).reshape(
             h * n, kf, 2 * dh)
         pe_k = jnp.einsum("pc,hcd->hpd", pe, wk_h)       # [h, w, dh]
@@ -418,7 +431,8 @@ class TemporalAttention(nn.Module):
 
         lg = functools.partial(jnp.einsum, "hnjd,hncd->hnjc",
                                preferred_element_type=jnp.float32)
-        logits_cols = jnp.concatenate([lg(qh, k_r), lg(qh, k_n)], axis=-1)
+        qz = jnp.concatenate([qh, jnp.zeros_like(qh)], axis=-1)
+        logits_cols = jnp.concatenate([lg(qz, kv), lg(qh, k_n)], axis=-1)
         qpe = jnp.einsum("hnjd,hpd->hnjp", qh, pe_k,
                          preferred_element_type=jnp.float32)
         # gather each frame's 32 window logits out of the CAP+k columns
@@ -433,7 +447,8 @@ class TemporalAttention(nn.Module):
         pd = probs.astype(dt)
         # scatter probs back to columns for the shared-column value matmul
         p_cols = jnp.einsum("hnjp,jpc->hnjc", pd, onehot.astype(dt))
-        out = jnp.einsum("hnjc,hncd->hnjd", p_cols[..., :cap], v_r) \
+        out = jnp.einsum("hnjc,hncd->hnjd", p_cols[..., :cap],
+                         kv)[..., dh:] \
             + jnp.einsum("hnjc,hncd->hnjd", p_cols[..., cap:], v_n)
         if axis is not None:
             out = jax.lax.psum(out, axis)

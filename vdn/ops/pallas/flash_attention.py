@@ -671,14 +671,22 @@ def _flash_bwd_cols(qkv2, g2, out2, lse2, scale: float, block_q: int,
     fp32 (forward row log-sum-exp, base 2) -> (dq2, dk2, dv2) [B, T, C]
     (dk2/dv2 fp32 accumulators; caller casts and concatenates).
 
-    VDN_FLASH_BWD_BLOCK_Q overrides the q-block for the BACKWARD only
-    (the fwd/bwd optima need not coincide: a full-T backward block
-    removes the sequential dk/dv accumulation revisits entirely)."""
+    VDN_FLASH_BWD_BLOCK_Q overrides the q-block for the BACKWARD only —
+    the fwd/bwd optima do NOT coincide: the backward's sequential dk/dv
+    accumulation revisits cost ~12 ms/step at vitl b2t8, so a full-T
+    q-block wins whenever the fp32 [t, t] logits pair fits VMEM
+    (in-model slope A/B 2026-08-21: full-T 632.5 ms vs 644.8 at the
+    fwd-tuned 768 vs 645.4 at 512)."""
     b, t, _ = qkv2.shape
     n = h // hb
     w = hb * d
-    bq = _pick_block(t, int(_os.environ.get("VDN_FLASH_BWD_BLOCK_Q", "0"))
-                     or block_q)
+    bq_env = int(_os.environ.get("VDN_FLASH_BWD_BLOCK_Q", "0"))
+    if bq_env:
+        bq = _pick_block(t, bq_env)
+    elif 8 * t * t <= 48 * 1024 * 1024:
+        bq = t                                   # full T: one q visit
+    else:
+        bq = _pick_block(t, block_q)
     grid = (b, n, pl.cdiv(t, bq))
     flops = 10 * b * h * t * t * d
     return pl.pallas_call(

@@ -461,9 +461,11 @@ def fused_mlp_enabled(rows: int) -> bool:
     if _os.environ.get("VDN_DISABLE_FUSED_MLP"):
         return False
     from vdn.ops.attention import _on_tpu
-    # VDN_MLP_MIN_ROWS: A/B knob for the small-batch cutoff (the
-    # single-image memory-bank step runs rows = 1369)
-    return rows >= int(_os.environ.get("VDN_MLP_MIN_ROWS", "2048")) \
+    # VDN_MLP_MIN_ROWS: A/B knob for the small-batch cutoff.  Default
+    # 1024: the single-image memory-bank step (rows=1369, previously
+    # under the 2048 cutoff on the XLA path) slope-timed 21.28 -> 20.55
+    # ms/frame at vitl@518 with the kernels on (2026-08-21).
+    return rows >= int(_os.environ.get("VDN_MLP_MIN_ROWS", "1024")) \
         and _on_tpu()
 
 
