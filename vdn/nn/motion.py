@@ -59,6 +59,26 @@ def sinusoidal_positional_encoding(d_model: int, max_len: int) -> np.ndarray:
     return pe.astype(np.float32)
 
 
+def ring_lane_width(dh: int) -> int:
+    """Packed K/V ring lane width: 2*dh, padded up to 128 lanes — XLA
+    gave 64-lane rings rows-minor layouts and every read paid relayout
+    copies (trace 2026-08-21); the pad region is zeros and the reading
+    dots are MXU-padding-bound, so the wider contraction is free."""
+    return max(2 * dh, 128)
+
+
+def _pack_ring_entry(k, v, dpad: int):
+    """k/v [h, n, t, dh] head-major -> [h*n, t, dpad] packed ring entry
+    (lanes = [K(dh) | V(dh) | zero pad]).  The (h, n) merge is a free
+    leading-dims reshape; t is the chunk length (sublane-aligned in the
+    k=8 serving mode)."""
+    h, n, t, dh = k.shape
+    parts = [k, v]
+    if dpad > 2 * dh:
+        parts.append(jnp.zeros(k.shape[:-1] + (dpad - 2 * dh,), k.dtype))
+    return jnp.concatenate(parts, axis=-1).reshape(h * n, t, dpad)
+
+
 class GEGLU(nn.Module):
     dim_out: int
     param_dtype: Dtype = jnp.float32
@@ -174,8 +194,7 @@ class TemporalAttention(nn.Module):
                 c, h, dh).transpose(1, 0, 2)
             k_e = jnp.einsum("ntc,hcd->hntd", x, hv(wk))
             v_e = jnp.einsum("ntc,hcd->hntd", x, hv(wv))
-            entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
-                h * bn, t_new, 2 * dh)
+            entry = _pack_ring_entry(k_e, v_e, ring_lane_width(dh))
             return out, entry
 
         d_in = 0
@@ -256,8 +275,7 @@ class TemporalAttention(nn.Module):
             bn, t_new, h, dh).transpose(2, 0, 1, 3)
         v_e = to_v_m(hidden_states).reshape(
             bn, t_new, h, dh).transpose(2, 0, 1, 3)
-        entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
-            h * bn, t_new, 2 * dh)
+        entry = _pack_ring_entry(k_e, v_e, ring_lane_width(dh))
         return out, entry
 
     def _weights_hview(self, x, c):
@@ -307,31 +325,32 @@ class TemporalAttention(nn.Module):
         v_e = proj(x_new, wv_h)
         k_n = k_e + pe_k[:, None, d_in:]
         v_n = v_e + pe_v[:, None, d_in:]
-        kv = cache.reshape(h, bn, d_in, 2 * dh).astype(dt)
+        dpad = cache.shape[-1]                           # ring lane width
+        kv = cache.reshape(h, bn, d_in, dpad).astype(dt)
 
         scale = dh ** -0.5
         logit = functools.partial(jnp.einsum, "hntd,hnkd->hntk",
                                   preferred_element_type=jnp.float32)
-        # packed-dot form: zero-padded q contracts the packed [.., 2dh]
-        # window directly (no K/V lane split — see _chunk_window); the
+        # packed-dot form: zero-padded q contracts the packed window
+        # directly (no K/V lane split — see _chunk_window); the
         # cache-side APE attaches on the LOGITS (q . to_k(pe[p])) and on
         # the OUTPUT (probs . to_v(pe[p])) by linearity
-        qz = jnp.concatenate([q, jnp.zeros_like(q)], axis=-1)
+        qz = jnp.concatenate(
+            [q, jnp.zeros(q.shape[:-1] + (dpad - dh,), dt)], axis=-1)
         qpe_c = jnp.einsum("hntd,hpd->hntp", q, pe_k[:, :d_in],
                            preferred_element_type=jnp.float32)
         logits = jnp.concatenate(
             [logit(qz, kv) + qpe_c, logit(q, k_n)], axis=-1) * scale
         probs = jax.nn.softmax(logits, axis=-1).astype(dt)
         out = jnp.einsum("hntk,hnkd->hntd", probs[..., :d_in],
-                         kv)[..., dh:] \
+                         kv)[..., dh:2 * dh] \
             + jnp.einsum("hntk,hkd->hntd", probs[..., :d_in],
                          pe_v[:, :d_in]) \
             + jnp.einsum("hntk,hnkd->hntd", probs[..., d_in:], v_n)
 
         wo_h = wo.astype(dt).reshape(h, dh, self.query_dim)
         out = jnp.einsum("hntd,hdc->ntc", out, wo_h) + bo.astype(dt)
-        entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
-            h * bn, t_new, 2 * dh)
+        entry = _pack_ring_entry(k_e, v_e, ring_lane_width(dh))
         return out, entry
 
     def _chunk_window(self, x, buf, onehot):
@@ -401,15 +420,24 @@ class TemporalAttention(nn.Module):
         # fp32 logits space (and slicing probs) is absorbed into the
         # dots instead
         k_n, v_n = proj(x, wk_h), proj(x, wv_h)          # position-free
-        kv = buf.reshape(h, n, cap, 2 * dh).astype(dt)
-        # the packed [.., 2dh] ring feeds the attention dots DIRECTLY:
-        # lane-splitting K/V halves materialized 1-2 ms copies per block
-        # at dh=32 (trace 2026-08-21), while these tiny dots are
-        # MXU-padding-bound — contracting the packed width with
-        # zero-padded q (logits) and slicing the [.., 2dh] AV output
-        # (j-sized, ~5x smaller than the ring) costs nothing extra
-        entry = jnp.concatenate([k_n, v_n], axis=-1).reshape(
-            h * n, kf, 2 * dh)
+        # The ring is consumed in EXACTLY its stored 3-D shape with the
+        # flat r = h*n batch axis: any [h, n, cap, d] view materializes
+        # (n=1369/5476 is not sublane-aligned, so the 4-D retile is a
+        # real copy — same class as the round-4 [B,N,C]<->[B*N,C]
+        # finding), and lane-splitting K/V halves materialized 1-2 ms
+        # copies per block at dh=32.  Instead the packed ring feeds the
+        # dots directly: zero-padded q contracts the full padded width
+        # (these dots are MXU-padding-bound, so the wider contraction is
+        # free) and the AV output slices [dh:2dh] (j-sized, ~5x smaller
+        # than the ring).  Lanes pad to >=128 so XLA keeps them minor.
+        r = h * n
+        dpad = ring_lane_width(dh)
+        kv3 = buf.astype(dt)                             # [r, cap, dpad]
+        entry = _pack_ring_entry(k_n, v_n, dpad)         # [r, kf, dpad]
+        flat = lambda a: a.reshape((r,) + a.shape[2:])   # [h,n,..] view
+        unflat = lambda a: a.reshape((h, n) + a.shape[1:])
+        qz = flat(jnp.concatenate(
+            [qh, jnp.zeros(qh.shape[:-1] + (dpad - dh,), dt)], axis=-1))
         pe_k = jnp.einsum("pc,hcd->hpd", pe, wk_h)       # [h, w, dh]
         pe_v = jnp.einsum("pc,hcd->hpd", pe, wv_h)
 
@@ -429,30 +457,32 @@ class TemporalAttention(nn.Module):
             onehot = jnp.concatenate(
                 [oh_ring, onehot[:, :, cap_g:] * own_chunk], axis=-1)
 
-        lg = functools.partial(jnp.einsum, "hnjd,hncd->hnjc",
-                               preferred_element_type=jnp.float32)
-        qz = jnp.concatenate([qh, jnp.zeros_like(qh)], axis=-1)
-        logits_cols = jnp.concatenate([lg(qz, kv), lg(qh, k_n)], axis=-1)
+        lg_ring = jnp.einsum("rjd,rcd->rjc", qz, kv3,
+                             preferred_element_type=jnp.float32)
+        lg_new = jnp.einsum("hnjd,hncd->hnjc", qh, k_n,
+                            preferred_element_type=jnp.float32)
+        logits_cols = jnp.concatenate([lg_ring, flat(lg_new)], axis=-1)
         qpe = jnp.einsum("hnjd,hpd->hnjp", qh, pe_k,
                          preferred_element_type=jnp.float32)
         # gather each frame's 32 window logits out of the CAP+k columns
-        logits_win = jnp.einsum("hnjc,jpc->hnjp", logits_cols,
+        logits_win = jnp.einsum("rjc,jpc->rjp", logits_cols,
                                 onehot.astype(jnp.float32))
         if axis is not None:
             # exactly one device owns each (frame, position) column;
             # everyone else contributed exact 0.0 terms
             logits_win = jax.lax.psum(logits_win, axis)
-        logits_win = logits_win + qpe
+        logits_win = logits_win + flat(qpe)
         probs = jax.nn.softmax(logits_win * (dh ** -0.5), axis=-1)
         pd = probs.astype(dt)
         # scatter probs back to columns for the shared-column value matmul
-        p_cols = jnp.einsum("hnjp,jpc->hnjc", pd, onehot.astype(dt))
-        out = jnp.einsum("hnjc,hncd->hnjd", p_cols[..., :cap],
-                         kv)[..., dh:] \
-            + jnp.einsum("hnjc,hncd->hnjd", p_cols[..., cap:], v_n)
+        p_cols = jnp.einsum("rjp,jpc->rjc", pd, onehot.astype(dt))
+        out = unflat(jnp.einsum(
+            "rjc,rcd->rjd", p_cols[..., :cap], kv3)[..., dh:2 * dh]) \
+            + jnp.einsum("hnjc,hncd->hnjd",
+                         unflat(p_cols[..., cap:]), v_n)
         if axis is not None:
             out = jax.lax.psum(out, axis)
-        out = out + jnp.einsum("hnjp,hpd->hnjd", pd, pe_v)
+        out = out + jnp.einsum("hnjp,hpd->hnjd", unflat(pd), pe_v)
         # fused out-projection: contract (h, dh) -> C, no head-merge copy
         wo_h = wo.astype(dt).reshape(h, dh, self.query_dim)
         out = jnp.einsum("hnjd,hdc->njc", out, wo_h) + bo.astype(dt)
@@ -494,9 +524,10 @@ class TemporalAttention(nn.Module):
         q = proj(x_new + new_pe[None], wq_h)             # [h,bn,t_new,dh]
         k_e = proj(x_new, wk_h)                          # position-free
         v_e = proj(x_new, wv_h)
-        kv = cache.reshape(h, bn, d_local, 2 * dh).astype(dt)
+        dpad = cache.shape[-1]                           # ring lane width
+        kv = cache.reshape(h, bn, d_local, dpad).astype(dt)
         k_c = kv[..., :dh] + pe_k[:, None, idx_cl]
-        v_c = kv[..., dh:] + pe_v[:, None, idx_cl]
+        v_c = kv[..., dh:2 * dh] + pe_v[:, None, idx_cl]
         k_n = k_e + pe_k[:, None, cl:cl + t_new]
         v_n = v_e + pe_v[:, None, cl:cl + t_new]
 
@@ -514,8 +545,7 @@ class TemporalAttention(nn.Module):
             to_bthd(jnp.concatenate([v_c, v_n], axis=2)), axis, bias)
         out = out.reshape(bn, t_new, c)
         out = jnp.matmul(out, wo.astype(dt)) + bo.astype(dt)
-        entry = jnp.concatenate([k_e, v_e], axis=-1).reshape(
-            h * bn, t_new, 2 * dh)
+        entry = _pack_ring_entry(k_e, v_e, ring_lane_width(dh))
         return out, entry
 
 
